@@ -1,0 +1,181 @@
+"""Volume readers over HDF5 / zarr / in-memory stores.
+
+Capability parity with the reference reader layer
+(`/root/reference/midasmednet/dataset.py:109-207`): uniform
+``<file>/<group>/<key>`` access, bulk preload to RAM with timing +
+tracemalloc telemetry, shape and attribute (``affine``) queries.
+
+Differences from the reference (intended-semantics fixes, SURVEY.md §2.4):
+
+- ``ZarrReader`` is actually functional (the reference's referenced
+  undefined names, dataset.py:188-189,203); it is gated on zarr being
+  installed.
+- A ``MemoryReader`` over plain dict-of-arrays backs tests, benchmarks and
+  the sliding-window result store without external deps.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import tracemalloc
+from collections import deque
+from pathlib import Path
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:  # optional dependency
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+try:  # optional dependency
+    import zarr
+except ImportError:  # pragma: no cover
+    zarr = None
+
+
+class DataReader:
+    """Abstract reader (reference dataset.py:109-148)."""
+
+    def read(self, subject_keys: Sequence[str], group: str,
+             dtype=np.float16, preload: bool = True) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+    def read_data_to_memory(self, subject_keys: Sequence[str], group: str,
+                            dtype=np.float16, preload: bool = True) -> deque:
+        """Bulk-read a group into a deque, logging wall time and memory.
+
+        Mirrors the telemetry of the reference (dataset.py:114-139).
+        """
+        logger.info("loading group [%s]...", group)
+        t = time.perf_counter()
+        tracemalloc.start()
+        data = deque(self.read(subject_keys, group, dtype, preload))
+        current, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        logger.debug(
+            "finished: %.3f s, current memory usage %.2fGB, peak memory usage %.2fGB",
+            time.perf_counter() - t, current / 1e9, peak / 1e9,
+        )
+        return data
+
+    def get_data_shape(self, subject_keys: Sequence[str], group: str) -> Dict[str, tuple]:
+        raise NotImplementedError
+
+    def get_data_attribute(self, subject_keys: Sequence[str], group: str,
+                           attribute: str) -> Dict[str, object]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class HDF5Reader(DataReader):
+    """HDF5-backed reader (reference ``DataReaderHDF5``, dataset.py:150-177)."""
+
+    def __init__(self, path_data):
+        if h5py is None:  # pragma: no cover
+            raise ImportError("h5py is required for HDF5Reader")
+        self.path_data = path_data
+        self.hf = h5py.File(str(path_data), "r")
+
+    def read(self, subject_keys, group, dtype=np.float16, preload=True):
+        for k in subject_keys:
+            data = self.hf[f"{group}/{k}"]
+            if preload:
+                data = np.asarray(data[:], dtype=dtype)
+            yield data
+
+    def get_data_shape(self, subject_keys, group):
+        return {k: self.hf[f"{group}/{k}"].shape for k in subject_keys}
+
+    def get_data_attribute(self, subject_keys, group, attribute):
+        return {k: self.hf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
+
+    def close(self):
+        self.hf.close()
+
+
+class ZarrReader(DataReader):
+    """zarr-backed reader — working equivalent of the reference's broken
+    ``DataReaderZarr`` (dataset.py:179-207)."""
+
+    def __init__(self, path_data):
+        if zarr is None:  # pragma: no cover
+            raise ImportError("zarr is not installed in this environment")
+        self.path_data = path_data
+        self.zf = zarr.open(str(path_data), mode="r")
+
+    def read(self, subject_keys, group, dtype=np.float16, preload=True):
+        for k in subject_keys:
+            data = self.zf[f"{group}/{k}"]
+            if preload:
+                data = np.asarray(data[:], dtype=dtype)
+            yield data
+
+    def get_data_shape(self, subject_keys, group):
+        return {k: self.zf[f"{group}/{k}"].shape for k in subject_keys}
+
+    def get_data_attribute(self, subject_keys, group, attribute):
+        return {k: self.zf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
+
+    def close(self):
+        # zarr stores have no persistent handle to close by default
+        pass
+
+
+class MemoryReader(DataReader):
+    """Reader over an in-memory ``{group: {key: array}}`` mapping.
+
+    Backs unit tests, synthetic fixtures and benchmarks without touching
+    disk.  Attributes live in ``attrs[group][key][name]``.
+    """
+
+    def __init__(self, store: Dict[str, Dict[str, np.ndarray]],
+                 attrs: Optional[Dict[str, Dict[str, Dict[str, object]]]] = None):
+        self.store = store
+        self.attrs = attrs or {}
+
+    def read(self, subject_keys, group, dtype=np.float16, preload=True):
+        for k in subject_keys:
+            data = self.store[group][k]
+            if preload:
+                data = np.asarray(data, dtype=dtype)
+            yield data
+
+    def get_data_shape(self, subject_keys, group):
+        return {k: self.store[group][k].shape for k in subject_keys}
+
+    def get_data_attribute(self, subject_keys, group, attribute):
+        default = np.eye(4)
+        return {
+            k: self.attrs.get(group, {}).get(k, {}).get(attribute, default)
+            for k in subject_keys
+        }
+
+
+# Backwards-compatible aliases matching the reference class names.
+DataReaderHDF5 = HDF5Reader
+DataReaderZarr = ZarrReader
+
+
+def open_reader(path, reader_cls=None) -> DataReader:
+    """Pick a reader by file suffix unless an explicit class is given."""
+    if reader_cls is not None:
+        return reader_cls(path)
+    p = Path(str(path))
+    if p.suffix in (".h5", ".hdf5", ".hdf"):
+        return HDF5Reader(p)
+    if p.suffix in (".zarr", ".zip") or p.is_dir():
+        return ZarrReader(p)
+    raise ValueError(f"cannot infer reader for {path!r}")

@@ -1,0 +1,177 @@
+"""Configurable 3D U-Net family (vanilla and residual), TPU-first.
+
+One parameterized model family covering both reference networks
+(`/root/reference/midasmednet/unet/model.py:11-213`):
+
+- ``UNet3D``       — 4 levels from 64 feature maps, DoubleConv blocks,
+                     nearest-resize + concat decoder (model.py:11-110).
+- ``ResidualUNet3D`` — 5 levels from 32 feature maps, ExtResNetBlock blocks,
+                     transposed-conv + summation decoder (model.py:113-213);
+                     the model actually used by both reference tasks.
+
+TPU-first choices: NDHWC layout, bf16 compute / fp32 params, logits cast to
+fp32 at the head for loss stability, and the final sigmoid/softmax applied
+only in ``testing`` mode exactly like the reference (model.py:107-108,
+211-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpu_mednet.models.blocks import DecoderStage, EncoderStage
+
+Dtype = Any
+
+
+def create_feature_maps(init_channels: int, num_levels: int) -> Tuple[int, ...]:
+    """Geometric x2 progression of per-level feature maps (model.py:7-8)."""
+    return tuple(init_channels * 2**k for k in range(num_levels))
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Static configuration of a 3D U-Net.
+
+    ``f_maps`` may be an int (expanded geometrically over ``num_levels``
+    levels, model.py:44-46,148-150) or an explicit per-level tuple.
+    """
+
+    in_channels: int
+    out_channels: int
+    f_maps: Union[int, Sequence[int]] = 32
+    num_levels: int = 5
+    block: str = "residual"  # 'double' | 'residual'
+    layer_order: str = "cge"
+    num_groups: int = 8
+    final_sigmoid: bool = False
+    skip_final_activation: bool = False
+    pool_type: str = "max"
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def feature_maps(self) -> Tuple[int, ...]:
+        if isinstance(self.f_maps, int):
+            return create_feature_maps(self.f_maps, self.num_levels)
+        return tuple(self.f_maps)
+
+
+class UNet3DBase(nn.Module):
+    """Generic 3D U-Net over NDHWC volumes.
+
+    Encoder stack collects per-level features; the decoder consumes them in
+    reverse, skipping the deepest (model.py:189-205).  A 1x1x1 conv head
+    produces per-voxel logits (model.py:207); sigmoid/softmax is applied only
+    when ``testing=True`` (model.py:211-212).
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, train: bool = True, testing: bool = False
+    ) -> jax.Array:
+        cfg = self.config
+        f_maps = cfg.feature_maps
+        common = dict(
+            block=cfg.block,
+            order=cfg.layer_order,
+            num_groups=cfg.num_groups,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+        )
+
+        x = x.astype(cfg.dtype)
+        features = []
+        for i, out_ch in enumerate(f_maps):
+            x = EncoderStage(
+                out_channels=out_ch,
+                apply_pooling=i > 0,
+                pool_type=cfg.pool_type,
+                name=f"encoder{i}",
+                **common,
+            )(x, train=train)
+            features.append(x)
+
+        # decoder consumes encoder features deepest-first, skipping the last
+        skip_features = features[:-1][::-1]
+        for i, enc in enumerate(skip_features):
+            x = DecoderStage(
+                out_channels=enc.shape[-1],
+                name=f"decoder{i}",
+                **common,
+            )(enc, x, train=train)
+
+        x = nn.Conv(
+            features=cfg.out_channels,
+            kernel_size=(1, 1, 1),
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="final_conv",
+        )(x)
+        # fp32 logits: cheap (tiny channel dim) and stabilizes softmax/Dice.
+        x = x.astype(jnp.float32)
+
+        if testing and not cfg.skip_final_activation:
+            if cfg.final_sigmoid:
+                x = jax.nn.sigmoid(x)
+            else:
+                x = jax.nn.softmax(x, axis=-1)
+        return x
+
+
+def UNet3D(
+    in_channels: int,
+    out_channels: int,
+    final_sigmoid: bool = False,
+    f_maps: Union[int, Sequence[int]] = 64,
+    layer_order: str = "gcr",
+    num_groups: int = 8,
+    dtype: Any = jnp.bfloat16,
+    **kwargs,
+) -> UNet3DBase:
+    """Vanilla 4-level 3D U-Net (reference model.py:11-110)."""
+    cfg = UNetConfig(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        f_maps=f_maps,
+        num_levels=4,
+        block="double",
+        layer_order=layer_order,
+        num_groups=num_groups,
+        final_sigmoid=final_sigmoid,
+        dtype=dtype,
+    )
+    return UNet3DBase(config=cfg)
+
+
+def ResidualUNet3D(
+    in_channels: int,
+    out_channels: int,
+    final_sigmoid: bool = False,
+    f_maps: Union[int, Sequence[int]] = 32,
+    conv_layer_order: str = "cge",
+    num_groups: int = 8,
+    skip_final_activation: bool = False,
+    dtype: Any = jnp.bfloat16,
+    **kwargs,
+) -> UNet3DBase:
+    """Residual 5-level 3D U-Net (reference model.py:113-213)."""
+    cfg = UNetConfig(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        f_maps=f_maps,
+        num_levels=5,
+        block="residual",
+        layer_order=conv_layer_order,
+        num_groups=num_groups,
+        final_sigmoid=final_sigmoid,
+        skip_final_activation=skip_final_activation,
+        dtype=dtype,
+    )
+    return UNet3DBase(config=cfg)

@@ -1,0 +1,294 @@
+"""Segmentation / landmark losses and metrics as jit-safe pure functions.
+
+Capability parity with the reference loss zoo
+(`/root/reference/midasmednet/unet/loss.py:10-252`), re-designed for
+channels-last NDHWC logits and XLA-friendly reductions:
+
+- ``compute_per_channel_dice`` / ``dice_metric`` (loss.py:24-55)
+- ``expand_as_one_hot``                           (loss.py:58-88)
+- ``dice_loss``                                   (loss.py:91-130)
+- ``ce_loss``                                     (loss.py:135-142; the
+  reference applies Softmax *before* CrossEntropyLoss — a double-softmax
+  defect.  We implement the intended plain cross-entropy; the quirk is
+  reproducible via ``double_softmax=True`` for bit-parity experiments.)
+- ``weighted_ce_loss``                            (loss.py:144-172)
+- ``bce_with_masking``                            (loss.py:175-202)
+- ``pixelwise_ce_loss``                           (loss.py:204-241)
+- ``landmark_loss`` (plain MSE)                   (loss.py:243-252)
+- multitask combination with per-heatmap weights  (landmarks.py:125-134)
+
+Conventions: ``logits``/``probs`` are (N, D, H, W, C); integer ``labels``
+are (N, D, H, W); one-hot ``target`` is (N, D, H, W, C).  All reductions are
+computed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+EPSILON = 1e-5
+
+
+def flatten_channels(x: Array) -> Array:
+    """(N, *spatial, C) -> (C, N * prod(spatial)).
+
+    Channels-last analogue of the reference ``flatten`` (loss.py:10-21).
+    """
+    c = x.shape[-1]
+    return jnp.moveaxis(x, -1, 0).reshape(c, -1)
+
+
+def expand_as_one_hot(labels: Array, num_classes: int,
+                      ignore_index: Optional[int] = None) -> Array:
+    """(N, D, H, W) int labels -> (N, D, H, W, C) one-hot.
+
+    With ``ignore_index``, voxels carrying that label produce an all-
+    ``ignore_index`` one-hot row so downstream masking can recognize them —
+    matching the reference semantics (loss.py:58-88).
+    """
+    labels = labels.astype(jnp.int32)
+    if ignore_index is None:
+        return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    mask = labels == ignore_index
+    safe = jnp.where(mask, 0, labels)
+    onehot = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+    return jnp.where(mask[..., None], float(ignore_index), onehot)
+
+
+def compute_per_channel_dice(
+    probs: Array,
+    target: Array,
+    epsilon: float = EPSILON,
+    ignore_index: Optional[int] = None,
+    weight: Optional[Array] = None,
+) -> Array:
+    """Per-channel soft Dice coefficient with epsilon-clamped denominator.
+
+    ``probs`` are normalized probabilities; shapes of ``probs`` and
+    ``target`` must match (both N, D, H, W, C).  Mirrors reference
+    loss.py:24-48 (optional ignore mask, optional per-channel weight on the
+    intersection term).
+    """
+    if probs.shape != target.shape:
+        raise ValueError(f"shape mismatch: {probs.shape} vs {target.shape}")
+    probs = probs.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if ignore_index is not None:
+        mask = (target != ignore_index).astype(jnp.float32)
+        probs = probs * mask
+        target = target * mask
+    p = flatten_channels(probs)
+    t = flatten_channels(target)
+    intersect = jnp.sum(p * t, axis=-1)
+    if weight is not None:
+        intersect = jnp.asarray(weight, dtype=jnp.float32) * intersect
+    denominator = jnp.sum(p + t, axis=-1)
+    return 2.0 * intersect / jnp.clip(denominator, min=epsilon)
+
+
+def dice_metric(logits: Array, labels: Array) -> Array:
+    """softmax -> one-hot -> per-channel dice (reference loss.py:51-55)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = expand_as_one_hot(labels, logits.shape[-1])
+    return compute_per_channel_dice(probs, onehot)
+
+
+def dice_loss(
+    logits: Array,
+    labels: Array,
+    epsilon: float = EPSILON,
+    weight: Optional[Array] = None,
+    ignore_index: Optional[int] = None,
+    sigmoid_normalization: bool = False,
+    skip_last_target: bool = False,
+) -> Array:
+    """mean(1 - per-channel dice); softmax normalization by default.
+
+    Reference ``DiceLoss`` (loss.py:91-130).  ``labels`` are integer class
+    maps (N, D, H, W).
+    """
+    if sigmoid_normalization:
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    target = expand_as_one_hot(labels, logits.shape[-1])
+    if skip_last_target:
+        target = target[..., :-1]
+    per_channel = compute_per_channel_dice(
+        probs, target, epsilon=epsilon, ignore_index=ignore_index, weight=weight
+    )
+    return jnp.mean(1.0 - per_channel)
+
+
+def ce_loss(
+    logits: Array,
+    labels: Array,
+    weight: Optional[Array] = None,
+    ignore_index: Optional[int] = None,
+    double_softmax: bool = False,
+) -> Array:
+    """Multi-class cross-entropy over voxel logits.
+
+    Intended semantics of the reference ``CELoss``/``nn.CrossEntropyLoss``
+    (loss.py:135-142; segmentation.py:48-49).  The reference's double-softmax
+    defect (Softmax applied before CrossEntropyLoss) is reproducible with
+    ``double_softmax=True`` but off by default (see SURVEY.md §2.4).
+
+    ``weight`` rescales each class's contribution and the mean is normalized
+    by the total weight of contributing voxels, matching torch's weighted CE.
+    """
+    if double_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    labels = labels.astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = (
+        (labels != ignore_index) if ignore_index is not None
+        else jnp.ones(labels.shape, dtype=bool)
+    )
+    safe = jnp.where(valid, labels, 0)
+    picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = jnp.asarray(weight, dtype=jnp.float32)[safe] * valid
+    else:
+        w = valid.astype(jnp.float32)
+    return -jnp.sum(w * picked) / jnp.clip(jnp.sum(w), min=1e-12)
+
+
+def weighted_ce_loss(
+    logits: Array,
+    target: Array,
+    weight: Optional[Array] = None,
+    ignore_index: int = -1,
+    target_one_hot_encoded: bool = True,
+) -> Array:
+    """WCE per arXiv 1707.03237 with data-derived class weights.
+
+    Class weights are ``(1 - p̂_c) / p̂_c`` computed from the softmaxed input
+    (reference loss.py:164-172), optionally multiplied by a static weight;
+    the target may be one-hot (argmax'd first) or an integer class map
+    (loss.py:154-162).
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    flat = flatten_channels(probs)
+    class_weights = jnp.sum(1.0 - flat, axis=-1) / jnp.sum(flat, axis=-1)
+    class_weights = jax.lax.stop_gradient(class_weights)
+    if weight is not None:
+        class_weights = class_weights * jnp.asarray(weight, dtype=jnp.float32)
+    if target_one_hot_encoded:
+        target = jnp.argmax(target, axis=-1)
+    return ce_loss(logits, target, weight=class_weights, ignore_index=ignore_index)
+
+
+def bce_with_masking(
+    logits: Array,
+    target: Array,
+    ignore_index: Optional[int] = -1,
+    skip_last_target: bool = False,
+    with_logits: bool = True,
+) -> Array:
+    """Binary cross-entropy with ignore_index masking / skip_last_target.
+
+    Functional analogue of the reference ``BCELossWrapper``
+    (loss.py:175-202): voxels whose target equals ``ignore_index`` are
+    zeroed in both input and target before the element-wise BCE mean.
+    """
+    if skip_last_target:
+        target = target[..., :-1]
+    if logits.shape != target.shape:
+        raise ValueError(f"shape mismatch: {logits.shape} vs {target.shape}")
+    target = target.astype(jnp.float32)
+    x = logits.astype(jnp.float32)
+    if ignore_index is not None:
+        mask = (target != ignore_index).astype(jnp.float32)
+        x = x * mask
+        target = target * mask
+    if with_logits:
+        # numerically stable BCE-with-logits
+        loss = jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    else:
+        p = jnp.clip(x, 1e-12, 1 - 1e-12)
+        loss = -(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
+    return jnp.mean(loss)
+
+
+def pixelwise_ce_loss(
+    logits: Array,
+    labels: Array,
+    weights: Array,
+    class_weights: Optional[Array] = None,
+    ignore_index: Optional[int] = None,
+) -> Array:
+    """Per-voxel-weighted cross entropy (reference loss.py:204-241).
+
+    ``weights`` is a per-voxel weight map broadcastable to ``labels``;
+    ``class_weights`` is per-class (default all ones).  The loss is
+    ``mean(-class_w * voxel_w * onehot * log_softmax)``.
+    """
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    target = expand_as_one_hot(labels, num_classes, ignore_index=ignore_index)
+    w = jnp.broadcast_to(
+        jnp.asarray(weights, dtype=jnp.float32)[..., None], logits.shape
+    )
+    if ignore_index is not None:
+        mask = (target != ignore_index).astype(jnp.float32)
+        logp = logp * mask
+        target = target * mask
+    if class_weights is None:
+        cw = jnp.ones((num_classes,), dtype=jnp.float32)
+    else:
+        cw = jnp.asarray(class_weights, dtype=jnp.float32)
+    w = w * cw.reshape((1,) * (logits.ndim - 1) + (num_classes,))
+    return jnp.mean(-w * target * logp)
+
+
+def mse_loss(pred: Array, target: Array) -> Array:
+    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+
+def l1_loss(pred: Array, target: Array) -> Array:
+    return jnp.mean(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def landmark_loss(logits: Array, heatmaps: Array) -> Array:
+    """Heatmap-regression MSE (reference ``LandmarkLoss``, loss.py:243-252)."""
+    return mse_loss(logits, heatmaps)
+
+
+def multitask_landmark_loss(
+    output_labels: Array,
+    output_heatmaps: Array,
+    labels: Array,
+    heatmaps: Array,
+    regression_weights: Sequence[float],
+    class_loss: str = "DICE",
+    class_weight: Optional[Array] = None,
+    regression_loss: str = "L2",
+):
+    """Combined seg + landmark loss (reference landmarks.py:125-134).
+
+    total = class_loss(labels) + sum_c regression_weight[c] * reg(heatmap_c).
+    Returns (total, class_loss, regression_loss).
+    """
+    if class_loss == "DICE":
+        cls = dice_loss(output_labels, labels, weight=class_weight)
+    elif class_loss == "CE":
+        cls = ce_loss(output_labels, labels, weight=class_weight)
+    else:
+        raise ValueError(f"class_loss must be 'DICE' or 'CE', got {class_loss!r}")
+    if regression_loss not in ("L2", "L1"):
+        raise ValueError(f"regression_loss must be 'L2' or 'L1', got {regression_loss!r}")
+    w = jnp.asarray(regression_weights, dtype=jnp.float32)
+    # vectorized over heatmap channels: per-channel reduction then weighted sum
+    diff = output_heatmaps.astype(jnp.float32) - heatmaps.astype(jnp.float32)
+    if regression_loss == "L2":
+        per_channel = jnp.mean(diff**2, axis=tuple(range(diff.ndim - 1)))
+    else:
+        per_channel = jnp.mean(jnp.abs(diff), axis=tuple(range(diff.ndim - 1)))
+    reg = jnp.sum(w * per_channel)
+    return cls + reg, cls, reg
