@@ -1,0 +1,207 @@
+"""Tests for readers, the patch sampler and the grid tile→stitch pipeline."""
+
+import numpy as np
+import pytest
+
+from tpu_mednet.data import (
+    GridPatchSampler,
+    HDF5Reader,
+    MemoryReader,
+    PatchSampler,
+    VolumeGroup,
+    grid_patch_generator,
+    num_grid_patches,
+)
+
+
+def make_store(n_subjects=2, shape=(24, 28, 20), n_classes=3, channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    images, labels, attrs = {}, {}, {"images": {}, "labels": {}}
+    for i in range(n_subjects):
+        key = f"subj{i}"
+        images[key] = rng.normal(size=(channels, *shape)).astype(np.float32)
+        lbl = np.zeros((1, *shape), dtype=np.uint8)
+        # deterministic blobs of each class
+        for c in range(1, n_classes):
+            x = 2 + 4 * c
+            lbl[0, x : x + 3, x : x + 3, 2 : 2 + 3] = c
+        labels[key] = lbl
+        attrs["images"][key] = {"affine": np.diag([1.0, 2.0, 3.0, 1.0])}
+    return {"images": images, "labels": labels}, attrs
+
+
+@pytest.fixture
+def mem_reader():
+    store, attrs = make_store()
+    return MemoryReader(store, attrs)
+
+
+def test_memory_reader_roundtrip(mem_reader):
+    data = mem_reader.read_data_to_memory(["subj0", "subj1"], "images")
+    assert len(data) == 2
+    assert data[0].dtype == np.float16
+    shapes = mem_reader.get_data_shape(["subj0"], "images")
+    assert shapes["subj0"] == (1, 24, 28, 20)
+    affine = mem_reader.get_data_attribute(["subj0"], "images", "affine")["subj0"]
+    assert affine[1, 1] == 2.0
+
+
+def test_hdf5_reader_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    store, attrs = make_store(n_subjects=1)
+    path = tmp_path / "data.h5"
+    with h5py.File(path, "w") as hf:
+        ds = hf.create_dataset("images/subj0", data=store["images"]["subj0"])
+        ds.attrs["affine"] = np.eye(4)
+        hf.create_dataset("labels/subj0", data=store["labels"]["subj0"])
+    r = HDF5Reader(path)
+    data = r.read_data_to_memory(["subj0"], "images")
+    assert data[0].shape == (1, 24, 28, 20)
+    assert r.get_data_attribute(["subj0"], "images", "affine")["subj0"].shape == (4, 4)
+    r.close()
+
+
+def test_patch_sampler_basic(mem_reader):
+    ps = PatchSampler(
+        None, ["subj0", "subj1"], samples_per_subject=3, patch_size=[8, 8, 8],
+        reader=mem_reader, seed=0,
+    )
+    assert len(ps) == 6
+    s = ps.sample(0)
+    assert s["data"].shape == (1, 8, 8, 8)
+    assert s["data"].dtype == np.float32
+    assert s["label"].shape == (1, 8, 8, 8)
+    assert s["label"].dtype == np.uint8
+    assert s["subject_key"] == "subj0"
+
+
+def test_patch_sampler_class_balanced(mem_reader):
+    ps = PatchSampler(
+        None, ["subj0"], samples_per_subject=100, patch_size=[6, 6, 6],
+        reader=mem_reader, class_probabilities=[0.0, 0.0, 1.0], seed=1,
+    )
+    # every patch must contain at least one voxel of class 2
+    for i in range(30):
+        s = ps.sample(i)
+        assert np.any(s["label"] == 2), f"sample {i} missing class 2"
+
+
+def test_patch_sampler_heatmap_channel_order():
+    store, attrs = make_store()
+    store["heatmaps"] = {
+        k: np.full((2, 24, 28, 20), 7, dtype=np.uint8) for k in store["images"]
+    }
+    reader = MemoryReader(store, attrs)
+    ps = PatchSampler(
+        None, ["subj0"], samples_per_subject=1, patch_size=[8, 8, 8],
+        heatmap_group="heatmaps", reader=reader,
+    )
+    s = ps.sample(0)
+    # heatmaps first (2 channels of constant 7), class map LAST
+    assert s["label"].shape[0] == 3
+    assert np.all(s["label"][0] == 7)
+    assert np.all(s["label"][1] == 7)
+    assert s["label"][2].max() <= 2
+
+
+def test_patch_sampler_batches(mem_reader):
+    ps = PatchSampler(
+        None, ["subj0", "subj1"], samples_per_subject=4, patch_size=[8, 8, 8],
+        reader=mem_reader,
+    )
+    batches = list(ps.batches(batch_size=4))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["data"].shape == (4, 8, 8, 8, 1)  # channels-last
+    assert b["label"].shape == (4, 8, 8, 8, 1)
+
+
+def test_patch_sampler_transform_sees_batch_dim(mem_reader):
+    seen = {}
+
+    def transform(**patch):
+        seen["data_shape"] = patch["data"].shape
+        patch["data"] = patch["data"] * 2
+        return patch
+
+    ps = PatchSampler(
+        None, ["subj0"], samples_per_subject=1, patch_size=[8, 8, 8],
+        reader=mem_reader, transform=transform,
+    )
+    s = ps.sample(0)
+    assert seen["data_shape"] == (1, 1, 8, 8, 8)  # B,C,X,Y,Z
+    assert s["data"].shape == (1, 8, 8, 8)
+
+
+def test_grid_patch_generator_covers_volume():
+    img = np.arange(1 * 10 * 12 * 8).reshape(1, 10, 12, 8).astype(np.float32)
+    patches = list(grid_patch_generator(img, [6, 6, 6], [1, 1, 1], mode="symmetric"))
+    assert len(patches) == num_grid_patches((10, 12, 8), [6, 6, 6], [1, 1, 1])
+    for patch, idx, count in patches:
+        assert patch.shape == (1, 6, 6, 6)
+
+
+@pytest.mark.parametrize("shape", [(24, 28, 20), (16, 16, 16), (17, 19, 23)])
+@pytest.mark.parametrize("overlap", [[2, 2, 2], [0, 0, 0]])
+def test_tile_stitch_roundtrip_identity(shape, overlap):
+    """The core invariant: tile -> identity-process -> stitch == original."""
+    store, attrs = make_store(n_subjects=2, shape=shape)
+    # uint8 content so the roundtrip through out_dtype=uint8 is lossless
+    for k in store["images"]:
+        store["images"][k] = np.random.default_rng(3).integers(
+            0, 255, size=(1, *shape)
+        ).astype(np.float32)
+    reader = MemoryReader(store, attrs)
+    gs = GridPatchSampler(
+        None, ["subj0", "subj1"], patch_size=[8, 8, 8], patch_overlap=overlap,
+        out_channels=1, out_dtype=np.uint8, reader=reader,
+        pad_args={"mode": "symmetric"},
+    )
+    for batch in gs.batches(batch_size=4, channels_last=False):
+        batch = dict(batch)
+        batch["data"] = batch["data"]  # identity "model"
+        gs.add_processed_batch(batch)
+    results = gs.get_assembled_data()
+    for k in ["subj0", "subj1"]:
+        np.testing.assert_array_equal(
+            np.asarray(results[k]), store["images"][k].astype(np.uint8)
+        )
+        assert np.asarray(results[k].attrs["affine"])[1][1] == 2.0
+
+
+def test_tile_stitch_channels_last_path():
+    store, attrs = make_store(n_subjects=1, shape=(16, 16, 16))
+    store["images"]["subj0"] = np.random.default_rng(4).integers(
+        0, 255, size=(1, 16, 16, 16)
+    ).astype(np.float32)
+    reader = MemoryReader(store, attrs)
+    gs = GridPatchSampler(
+        None, ["subj0"], patch_size=[8, 8, 8], patch_overlap=[2, 2, 2],
+        out_channels=1, reader=reader,
+    )
+    for batch in gs.batches(batch_size=3, channels_last=True):
+        assert batch["data"].shape[-1] == 1
+        gs.add_processed_batch(batch, channels_last=True)
+    np.testing.assert_array_equal(
+        np.asarray(gs.get_assembled_data()["subj0"]),
+        store["images"]["subj0"].astype(np.uint8),
+    )
+
+
+def test_grid_overlap_too_large_raises():
+    img = np.zeros((1, 8, 8, 8), dtype=np.float32)
+    with pytest.raises(ValueError):
+        list(grid_patch_generator(img, [4, 4, 4], [2, 2, 2]))
+
+
+def test_volume_group_hdf5_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    vg = VolumeGroup()
+    ds = vg.require_dataset("a", (1, 4, 4, 4), np.uint8)
+    ds[:] = 3
+    ds.attrs["affine"] = np.eye(4).tolist()
+    path = tmp_path / "out.h5"
+    vg.save(path, group="prediction")
+    with h5py.File(path, "r") as hf:
+        assert np.all(hf["prediction/a"][:] == 3)
+        assert np.asarray(hf["prediction/a"].attrs["affine"]).shape == (4, 4)

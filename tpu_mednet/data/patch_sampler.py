@@ -1,0 +1,192 @@
+"""Training patch sampler: class-balanced random 3D patches over subjects.
+
+Equivalent of the reference ``MedDataset``
+(`/root/reference/midasmednet/dataset.py:210-346`) without the torch
+dependency: a host-side sampler that preloads images (f16), labels (u8) and
+optional heatmaps (u8), draws class-probability-weighted positions, crops
+random patches, and emits channels-last batches ready for
+``jax.device_put``.
+
+Layout convention: storage is (C, X, Y, Z) per the reference HDF5 scheme;
+emitted batches are **channels-last** (N, X, Y, Z, C) — the TPU-native
+layout — with the class-value label map kept as the LAST channel of
+``label`` when heatmaps are present (dataset.py:322-330).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.sampling import (
+    get_labeled_position,
+    get_random_patch_indices,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class PatchSampler:
+    """Class-balanced random patch sampler over preloaded subjects.
+
+    Args mirror the reference ``MedDataset.__init__`` (dataset.py:212-239).
+    ``transform`` receives the sample dict with a leading batch dim on
+    ``data``/``label`` — (B, C, X, Y, Z), batchgenerators convention
+    (dataset.py:338-346) — and must return the same structure.
+    """
+
+    def __init__(
+        self,
+        data_path,
+        subject_keys: Sequence[str],
+        samples_per_subject: int,
+        patch_size: Sequence[int],
+        image_group: str = "images",
+        label_group: str = "labels",
+        heatmap_group: Optional[str] = None,
+        reader_cls=HDF5Reader,
+        reader: Optional[DataReader] = None,
+        class_probabilities: Optional[Sequence[float]] = None,
+        preload: bool = True,
+        transform: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        self.data_path = data_path
+        self.subject_keys = list(subject_keys)
+        self.samples_per_subject = samples_per_subject
+        self.patch_size = np.asarray(patch_size, dtype=np.int64)
+        self.heatmap_group = heatmap_group
+        self.transform = transform
+        self.rng = np.random.default_rng(seed)
+
+        self.class_probabilities = None
+        if class_probabilities is not None:
+            p = np.asarray(class_probabilities, dtype=np.float64)
+            self.class_probabilities = p / p.sum()
+
+        owns_reader = reader is None
+        r = reader if reader is not None else reader_cls(data_path)
+        self.images = r.read_data_to_memory(self.subject_keys, image_group,
+                                            dtype=np.float16, preload=preload)
+        self.labels = r.read_data_to_memory(self.subject_keys, label_group,
+                                            dtype=np.uint8, preload=preload)
+        self.heatmaps = None
+        if heatmap_group:
+            self.heatmaps = r.read_data_to_memory(self.subject_keys, heatmap_group,
+                                                  dtype=np.uint8, preload=preload)
+        if owns_reader:
+            r.close()
+
+        if len(self.images) != len(self.labels):
+            raise ValueError("number of label volumes must match image volumes")
+
+        # precompute per-(subject, class) any-masks over axis 2 of the class
+        # map (last label channel) — the reference's sampling-map trick
+        # (dataset.py:272-280)
+        self._label_ax2_any: List[List[np.ndarray]] = []
+        if self.class_probabilities is not None:
+            logger.info("pre-computing sampling maps ...")
+            t = time.perf_counter()
+            num_classes = len(self.class_probabilities)
+            for lbl in self.labels:
+                class_map = np.asarray(lbl[-1, ...])
+                self._label_ax2_any.append(
+                    [np.any(class_map == c, axis=2) for c in range(num_classes)]
+                )
+            logger.debug("finished %.3f s", time.perf_counter() - t)
+
+    def __len__(self) -> int:
+        return len(self.images) * self.samples_per_subject
+
+    def sample(self, idx: int) -> Dict[str, object]:
+        """Draw one training patch (reference ``__getitem__``, dataset.py:285-346).
+
+        Returns a dict with ``data`` (C, X, Y, Z) float32, ``label``
+        (C, X, Y, Z) uint8 (heatmap channels first, class map last),
+        ``subject_key``, ``patch_position``, ``selected_class``.
+        """
+        idx = idx % len(self.images)
+        imgs = self.images[idx]
+        lbls = self.labels[idx]
+
+        pos = None
+        selected_class = 0
+        if self.class_probabilities is not None:
+            selected_class = int(
+                self.rng.choice(len(self.class_probabilities), p=self.class_probabilities)
+            )
+            if selected_class > 0:
+                pos = get_labeled_position(
+                    np.asarray(lbls[-1]), selected_class,
+                    label_any=self._label_ax2_any[idx][selected_class],
+                    rng=self.rng,
+                )
+
+        ini, fin = get_random_patch_indices(
+            self.patch_size, imgs.shape[1:], pos=pos, rng=self.rng
+        )
+        sl = (slice(None), slice(ini[0], fin[0]), slice(ini[1], fin[1]),
+              slice(ini[2], fin[2]))
+        cropped_imgs = np.asarray(imgs[sl], dtype=np.float32)
+        cropped_lbls = np.asarray(lbls[sl], dtype=np.uint8)
+        if self.heatmaps is not None:
+            cropped_hmaps = np.asarray(self.heatmaps[idx][sl], dtype=np.uint8)
+            # heatmap channels first, class-encoded label map stays LAST
+            cropped_lbls = np.concatenate([cropped_hmaps, cropped_lbls], axis=0)
+
+        patch = {
+            "subject_key": self.subject_keys[idx],
+            "patch_position": ini,
+            "selected_class": selected_class,
+            "data": cropped_imgs[np.newaxis, ...],
+            "label": cropped_lbls[np.newaxis, ...],
+        }
+        if self.transform:
+            patch = self.transform(**patch)
+        patch["data"] = np.squeeze(patch["data"], axis=0)
+        patch["label"] = np.squeeze(patch["label"], axis=0)
+        return patch
+
+    # -- batching ---------------------------------------------------------
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        channels_last: bool = True,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of stacked batches.
+
+        ``data`` is (N, X, Y, Z, C) float32 and ``label`` (N, X, Y, Z, C)
+        uint8 when ``channels_last`` (the TPU layout); otherwise the
+        reference's (N, C, X, Y, Z).
+        """
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        n = len(order)
+        for start in range(0, n, batch_size):
+            chunk = order[start : start + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                break
+            samples = [self.sample(int(i)) for i in chunk]
+            data = np.stack([s["data"] for s in samples])
+            label = np.stack([s["label"] for s in samples])
+            if channels_last:
+                data = np.moveaxis(data, 1, -1)
+                label = np.moveaxis(label, 1, -1)
+            yield {
+                "data": np.ascontiguousarray(data),
+                "label": np.ascontiguousarray(label),
+                "subject_key": [s["subject_key"] for s in samples],
+                "selected_class": np.asarray([s["selected_class"] for s in samples]),
+            }
+
+
+# Reference-compatible alias (MedDataset, dataset.py:210).
+MedDataset = PatchSampler
