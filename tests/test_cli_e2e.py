@@ -1,0 +1,165 @@
+"""End-to-end CLI tests: train_seg -> checkpoint -> predict on synthetic HDF5.
+
+The CLI-level analogue of BASELINE config 1 (tiny U-Net, one small volume,
+CPU) plus the sliding-window predict flow of config 3.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+h5py = pytest.importorskip("h5py")
+
+from tpu_mednet.cli.predict import main as predict_main
+from tpu_mednet.cli.train_ldmks import main as train_ldmks_main
+from tpu_mednet.cli.train_seg import main as train_seg_main
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    """Synthetic dataset: 3 subjects with a bright class-1 cube + heatmaps."""
+    rng = np.random.default_rng(0)
+    data_path = tmp_path / "data.h5"
+    shape = (32, 32, 32)
+    with h5py.File(data_path, "w") as hf:
+        for i in range(3):
+            img = rng.normal(0, 0.1, size=(1, *shape)).astype(np.float32)
+            lbl = np.zeros((1, *shape), dtype=np.uint8)
+            lbl[0, 8:20, 8:20, 8:20] = 1
+            img[0, 8:20, 8:20, 8:20] += 2.0
+            hm = np.zeros((2, *shape), dtype=np.uint8)
+            hm[0, 10:14, 10:14, 10:14] = 200
+            hm[1, 16:20, 16:20, 16:20] = 200
+            ds = hf.create_dataset(f"images/subj{i}", data=img)
+            ds.attrs["affine"] = np.eye(4)
+            hf.create_dataset(f"labels/subj{i}", data=lbl)
+            hf.create_dataset(f"heatmaps/subj{i}", data=hm)
+    (tmp_path / "train.txt").write_text("subj0\nsubj1\n")
+    (tmp_path / "val.txt").write_text("subj2\n")
+    return tmp_path
+
+
+def seg_args(ws, **extra):
+    args = {
+        "data_path": str(ws / "data.h5"),
+        "train_set": str(ws / "train.txt"),
+        "val_set": str(ws / "val.txt"),
+        "model_dir": str(ws / "model"),
+        "log_dir": str(ws / "logs"),
+        "patch_size": [16, 16, 16],
+        "patches_per_subject": 2,
+        "max_epochs": 1,
+        "batch_size": 2,
+        "fmaps": 4,
+        "in_channels": 1,
+        "out_channels": 2,
+        "loss": "CE",
+        "learning_rate": 0.001,
+        "no_bf16": True,
+    }
+    args.update(extra)
+    argv = []
+    for k, v in args.items():
+        if isinstance(v, bool):
+            if v:
+                argv.append(f"--{k}")
+        elif isinstance(v, list):
+            argv.append(f"--{k}")
+            argv.extend(str(x) for x in v)
+        else:
+            argv.extend([f"--{k}", str(v)])
+    return argv
+
+
+def test_train_seg_cli_end_to_end(workspace):
+    rc = train_seg_main(seg_args(workspace))
+    assert rc == 0
+    # metrics written with the reference scalar names
+    metrics = [
+        json.loads(l)
+        for l in (workspace / "logs" / "metrics.jsonl").read_text().splitlines()
+    ]
+    keys = set().union(*[set(m) for m in metrics])
+    assert {"train_loss", "val_loss", "val_dice0", "val_dice1"} <= keys
+    # checkpoint directory has a step
+    assert any((workspace / "model").iterdir())
+
+
+def test_train_seg_cli_with_yaml_config(workspace):
+    cfg = {
+        "data_path": str(workspace / "data.h5"),
+        "train_set": str(workspace / "train.txt"),
+        "val_set": str(workspace / "val.txt"),
+        "model_dir": str(workspace / "model2"),
+        "log_dir": str(workspace / "logs2"),
+        "patch_size": [16, 16, 16],
+        "patches_per_subject": 2,
+        "max_epochs": 1,
+        "batch_size": 2,
+        "fmaps": 4,
+        "out_channels": 2,
+        "loss": "DICE",
+    }
+    cfg_path = workspace / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    # CLI override beats the config file (ConfigArgParse merge semantics)
+    rc = train_seg_main(["-c", str(cfg_path), "--max_epochs", "1", "--no_bf16"])
+    assert rc == 0
+    assert (workspace / "logs2" / "metrics.jsonl").exists()
+
+
+def test_predict_cli_end_to_end(workspace):
+    train_seg_main(seg_args(workspace))
+    (workspace / "test.txt").write_text("subj0\nsubj2\n")
+    pred_cfg = {
+        "base": {"data": str(workspace / "data.h5"), "image_group": "images",
+                 "sigma": None},
+        "prediction": {
+            "test_set": str(workspace / "test.txt"),
+            "patch_size": [16, 16, 16],
+            "patch_overlap": [4, 4, 4],
+            "channel_selection": None,
+            "batch_size": 4,
+            "data": str(workspace / "pred.h5"),
+            "group": "prediction",
+            "checkpoint": str(workspace / "model"),
+            "chunk_size": 2,
+            "model": "SegmentationNet",
+        },
+    }
+    cfg_path = workspace / "predict.yaml"
+    cfg_path.write_text(yaml.safe_dump(pred_cfg))
+    rc = predict_main(["-c", str(cfg_path)])
+    assert rc == 0
+    with h5py.File(workspace / "pred.h5") as hf:
+        for key in ["subj0", "subj2"]:
+            seg = hf[f"prediction/{key}"][:]
+            assert seg.shape == (1, 32, 32, 32)
+            assert seg.dtype == np.uint8
+            assert np.asarray(hf[f"prediction/{key}"].attrs["affine"]).shape == (4, 4)
+
+
+def test_train_ldmks_cli_end_to_end(workspace):
+    argv = seg_args(
+        workspace,
+        model_dir=str(workspace / "model_ldmk"),
+        log_dir=str(workspace / "logs_ldmk"),
+        out_channels=4,  # 2 heatmaps + 2 classes
+    )
+    # swap seg-only flags for landmark flags
+    argv = [a for a in argv if a not in ("--loss", "CE")]
+    argv += ["--loss_class", "DICE", "--loss_regression", "L2",
+             "--loss_regression_weight", "0.01", "0.01",
+             "--heatmap_group", "heatmaps"]
+    rc = train_ldmks_main(argv)
+    assert rc == 0
+    metrics = [
+        json.loads(l)
+        for l in (workspace / "logs_ldmk" / "metrics.jsonl").read_text().splitlines()
+    ]
+    keys = set().union(*[set(m) for m in metrics])
+    assert {"train_loss", "class_loss", "regression_loss",
+            "val_class_loss", "val_regression_loss"} <= keys

@@ -1,0 +1,165 @@
+"""End-to-end training tests: the minimum slice (BASELINE config 1 analogue).
+
+Tiny 2-level 8-channel U-Net overfitting one synthetic volume on CPU —
+loss must drop, checkpoints must round-trip, resume must continue.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mednet.data import MemoryReader, PatchSampler
+from tpu_mednet.models import UNet3DBase, UNetConfig
+from tpu_mednet.ops.augment import AugmentConfig
+from tpu_mednet.tasks import LandmarkTask, SegmentationTask
+from tpu_mednet.train import (
+    CheckpointManager,
+    Trainer,
+    create_train_state,
+    load_for_inference,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def make_reader(shape=(32, 32, 32), with_heatmaps=False, seed=0):
+    rng = np.random.default_rng(seed)
+    lbl = np.zeros((1, *shape), dtype=np.uint8)
+    lbl[0, 8:20, 8:20, 8:20] = 1  # bright cube = class 1
+    img = rng.normal(0, 0.1, size=(1, *shape)).astype(np.float32)
+    img[0, 8:20, 8:20, 8:20] += 2.0
+    store = {"images": {"s": img}, "labels": {"s": lbl}}
+    if with_heatmaps:
+        hm = np.zeros((2, *shape), dtype=np.uint8)
+        hm[0, 10:14, 10:14, 10:14] = 200
+        hm[1, 16:20, 16:20, 16:20] = 200
+        store["heatmaps"] = {"s": hm}
+    return MemoryReader(store)
+
+
+def tiny_model(out_channels, in_channels=1):
+    return UNet3DBase(config=UNetConfig(
+        in_channels=in_channels, out_channels=out_channels, f_maps=8,
+        num_levels=2, block="residual", layer_order="cge", num_groups=4,
+        dtype=jnp.float32,
+    ))
+
+
+def test_seg_overfit_loss_drops():
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=8,
+                           patch_size=[16, 16, 16], reader=reader,
+                           class_probabilities=[0.5, 0.5], seed=0)
+    task = SegmentationTask(model=tiny_model(2), loss="DICE")
+    train_step = make_train_step(task)
+    state = create_train_state(task.model, (2, 16, 16, 16, 1), 1e-2, seed=0)
+    losses = []
+    for epoch in range(6):
+        for batch in sampler.batches(batch_size=2):
+            batch = {"data": jnp.asarray(batch["data"]),
+                     "label": jnp.asarray(batch["label"])}
+            state, metrics = train_step(state, batch)
+            losses.append(float(metrics["train_loss"]))
+    assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+def test_trainer_fit_and_metrics(tmp_path):
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2), loss="CE")
+    trainer = Trainer(
+        task, sampler, val_sampler=sampler, batch_size=2, max_epochs=2,
+        learning_rate=1e-3, model_dir=str(tmp_path / "model"),
+        log_dir=str(tmp_path / "logs"),
+        augment=AugmentConfig(mirror_axes=(1, 2, 3)),
+    )
+    state = trainer.fit()
+    assert int(state.step) == 2 * 2  # 2 epochs x 2 steps
+    # metrics jsonl written with reference scalar names
+    lines = (tmp_path / "logs" / "metrics.jsonl").read_text().strip().splitlines()
+    keys = set()
+    for line in lines:
+        import json
+        keys |= set(json.loads(line).keys())
+    assert "train_loss" in keys
+    assert "val_loss" in keys
+    assert "val_dice0" in keys and "val_dice1" in keys
+    # checkpoint exists and restores
+    mgr = CheckpointManager(tmp_path / "model")
+    assert mgr.latest_step == 4
+    template = create_train_state(task.model, trainer.sample_shape, 1e-3)
+    restored, hparams = mgr.restore(template)
+    assert int(restored.step) == 4
+    mgr.close()
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2))
+    model_dir = str(tmp_path / "model")
+    t1 = Trainer(task, sampler, batch_size=2, max_epochs=1, model_dir=model_dir)
+    t1.fit()
+    t2 = Trainer(task, sampler, batch_size=2, max_epochs=1, model_dir=model_dir)
+    t2.init_state(resume=model_dir)
+    assert int(t2.state.step) == 2
+
+
+def test_load_for_inference(tmp_path):
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=2,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2))
+    model_dir = str(tmp_path / "model")
+    Trainer(task, sampler, batch_size=2, max_epochs=1, model_dir=model_dir,
+            hparams={"fmaps": 8}).fit()
+    template = create_train_state(task.model, (2, 16, 16, 16, 1), 1e-3)
+    variables, hparams = load_for_inference(model_dir, template)
+    assert "params" in variables
+    assert hparams["fmaps"] == 8
+
+
+def test_landmark_task_train_step():
+    reader = make_reader(with_heatmaps=True)
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], heatmap_group="heatmaps",
+                           reader=reader, seed=0)
+    # 2 heatmaps + 2 classes = 4 output channels
+    task = LandmarkTask(
+        model=tiny_model(4), loss_regression_weight=[0.01, 0.01],
+        loss_class="DICE",
+    )
+    train_step = make_train_step(task)
+    eval_step = make_eval_step(task)
+    state = create_train_state(task.model, (2, 16, 16, 16, 1), 1e-3)
+    batch = next(sampler.batches(batch_size=2))
+    jbatch = {"data": jnp.asarray(batch["data"]), "label": jnp.asarray(batch["label"])}
+    state, metrics = train_step(state, jbatch)
+    assert {"train_loss", "class_loss", "regression_loss"} <= set(metrics)
+    val = eval_step(state, jbatch)
+    assert {"val_loss", "val_class_loss", "val_regression_loss",
+            "val_dice0", "val_dice1"} <= set(val)
+
+
+def test_batchnorm_state_updates():
+    """'cbr' order exercises the BatchNorm mutable-state path."""
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        block="double", layer_order="cbr", dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="CE")
+    state = create_train_state(model, (2, 8, 8, 8, 1), 1e-3)
+    assert state.batch_stats is not None
+    step = make_train_step(task)
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jnp.asarray(rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, size=(2, 8, 8, 8, 1)).astype(np.uint8)),
+    }
+    import jax
+    before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    state, _ = step(state, batch)
+    after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))

@@ -1,0 +1,135 @@
+"""Sliding-window prediction CLI.
+
+Config parity with the reference hydra entry point
+(`/root/reference/examples/predict.py:20-115`): a YAML config with
+``base.*`` / ``prediction.*`` groups plus dotted ``key=value`` overrides.
+Subjects are processed in chunks to bound host memory (predict.py:41-42);
+heatmap channels are clipped to uint8 and the class channel is
+softmax/argmax'd on device; assembled volumes persist to HDF5 or zarr
+(with the reference's ``.stem``-vs-``.suffix`` save bug fixed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tpu_mednet.config import load_dotenv, load_yaml_config, read_keyfile, replace_env
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--config", required=True,
+                        help="YAML config with base.* / prediction.* groups")
+    parser.add_argument("overrides", nargs="*",
+                        help="dotted overrides, e.g. prediction.batch_size=16")
+    parser.add_argument("--log_level", type=str, default="INFO")
+    return parser
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    load_dotenv()
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.log_level)
+    logger = logging.getLogger("predict")
+    cfg = load_yaml_config(args.config, args.overrides)
+
+    base = cfg.get("base", {})
+    pred = cfg.get("prediction", {})
+    data_path = replace_env(base["data"])
+    image_group = base.get("image_group", "images")
+    num_heatmaps = len(base.get("sigma") or [])
+    test_set = replace_env(pred["test_set"])
+    patch_size = pred.get("patch_size", [96, 96, 96])
+    patch_overlap = pred.get("patch_overlap", [16, 16, 16])
+    channel_selection = pred.get("channel_selection")
+    batch_size = pred.get("batch_size", 8)
+    prediction_path = pred.get("data")
+    prediction_group = pred.get("group", "prediction")
+    checkpoint_path = replace_env(pred["checkpoint"])
+    chunk_size = pred.get("chunk_size", 16)
+    model_name = pred.get("model", "SegmentationNet")
+
+    from tpu_mednet.inference.sliding_window import predict_volumes
+    from tpu_mednet.tasks import LandmarkTask, SegmentationTask
+    from tpu_mednet.train import create_train_state, load_for_inference
+    from tpu_mednet.models.unet import ResidualUNet3D
+    import jax.numpy as jnp
+    import types
+
+    test_keys = read_keyfile(test_set)
+    logger.info("total number of keys %d", len(test_keys))
+    chunk_num = max(len(test_keys) // chunk_size, 1)
+    chunks = np.array_split(np.asarray(test_keys), chunk_num)
+
+    # restore hparams first (stored beside the weights, the functional
+    # analogue of load_from_checkpoint), then rebuild the task from them
+    logger.info("loading model from %s ...", checkpoint_path)
+    probe_model = ResidualUNet3D(in_channels=1, out_channels=1)
+    # hparams are needed to size the real template; read them via a cheap
+    # JSON-only restore path
+    from tpu_mednet.train.checkpoint import CheckpointManager
+    import orbax.checkpoint as ocp
+    mgr = CheckpointManager(checkpoint_path)
+    step = mgr.latest_step
+    hp_restored = mgr._mgr.restore(
+        step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
+    )["hparams"]
+    mgr.close()
+    hparams = types.SimpleNamespace(**{
+        k: _coerce(v) for k, v in (hp_restored or {}).items()
+    })
+
+    if model_name == "LandmarkNet":
+        task = LandmarkTask.from_hparams(hparams)
+    elif model_name == "SegmentationNet":
+        task = SegmentationTask.from_hparams(hparams)
+    else:
+        raise ValueError(f"unknown prediction.model {model_name!r}")
+
+    in_ch = task.model.config.in_channels
+    template = create_train_state(
+        task.model, (1, *patch_size, in_ch), learning_rate=1e-3,
+    )
+    variables, _ = load_for_inference(checkpoint_path, template)
+
+    for c, chunk in enumerate(chunks):
+        logger.info("chunk %d/%d", c, chunk_num)
+        results = predict_volumes(
+            task, variables, data_path, list(chunk),
+            patch_size=patch_size, patch_overlap=patch_overlap,
+            batch_size=batch_size,
+            out_channels=num_heatmaps + 1,
+            channel_selection=channel_selection,
+            image_group=image_group,
+            pad_mode="constant",
+        )
+        if prediction_path:
+            results.save(replace_env(prediction_path), group=prediction_group)
+            logger.info("saved %d volumes to %s", len(results), prediction_path)
+    return 0
+
+
+def _coerce(v):
+    """JSON round-trip turns tuples into lists and numbers into str at
+    times; best-effort numeric coercion for hparams fields."""
+    if isinstance(v, str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        if v in ("True", "False"):
+            return v == "True"
+        if v == "None":
+            return None
+    return v
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Landmark training CLI.
+
+CLI/config-semantics parity with the reference entry point
+(`/root/reference/examples/train_ldmks.py`): same flag surface, heatmap
+group plumbed into the sampler (heatmap channels concatenated before the
+class map, dataset.py:322-330), always-on augmentation matching the
+reference (train_ldmks.py:82-84).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tpu_mednet.config import (
+    add_common_train_args,
+    add_landmark_model_args,
+    load_dotenv,
+    parse_with_config,
+    read_keyfile,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_train_args(parser)
+    add_landmark_model_args(parser)
+    return parser
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    load_dotenv()
+    hparams = parse_with_config(build_parser(), argv)
+    logging.basicConfig(level=hparams.log_level)
+    logger = logging.getLogger("train_ldmks")
+
+    from tpu_mednet.data import HDF5Reader, PatchSampler
+    from tpu_mednet.ops.augment import AugmentConfig
+    from tpu_mednet.parallel.mesh import make_mesh
+    from tpu_mednet.tasks import LandmarkTask
+    from tpu_mednet.train import Trainer
+    from tpu_mednet.utils.plots import make_landmark_sample_visualizer
+    import jax
+
+    np.random.seed(hparams.seed)
+
+    train_keys = read_keyfile(hparams.train_set)
+    val_keys = read_keyfile(hparams.val_set) if hparams.val_set else []
+    logger.info("train keys: %d, val keys: %d", len(train_keys), len(val_keys))
+
+    # the reference always augments for landmarks (train_ldmks.py:82-84)
+    augment = AugmentConfig()
+
+    train_ds = PatchSampler(
+        hparams.data_path, train_keys, hparams.patches_per_subject,
+        hparams.patch_size, image_group=hparams.image_group,
+        label_group=hparams.label_group, heatmap_group=hparams.heatmap_group,
+        class_probabilities=hparams.class_probabilities,
+        reader_cls=HDF5Reader, seed=hparams.seed,
+    )
+    val_ds = None
+    if val_keys:
+        val_ds = PatchSampler(
+            hparams.data_path, val_keys, hparams.patches_per_subject,
+            hparams.patch_size, image_group=hparams.image_group,
+            label_group=hparams.label_group, heatmap_group=hparams.heatmap_group,
+            class_probabilities=None, reader_cls=HDF5Reader,
+            seed=hparams.seed + 1,
+        )
+
+    task = LandmarkTask.from_hparams(hparams)
+    n_devices = min(hparams.gpus, len(jax.devices())) or 1
+    mesh = make_mesh(n_data=n_devices)
+    trainer = Trainer(
+        task, train_ds, val_sampler=val_ds,
+        batch_size=hparams.batch_size,
+        max_epochs=hparams.max_epochs,
+        learning_rate=hparams.learning_rate,
+        model_dir=hparams.model_dir,
+        log_dir=hparams.log_dir,
+        augment=augment,
+        mesh=mesh,
+        seed=hparams.seed,
+        log_interval=hparams.log_interval,
+        sample_visualizer=make_landmark_sample_visualizer(
+            task.num_heatmaps, hparams.log_vis_mip
+        ),
+        hparams=vars(hparams),
+    )
+    trainer.fit(resume=hparams.resume)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""Unified config/flag system: YAML config file + CLI overrides + env paths.
+
+The reference mixes three mechanisms (SURVEY.md §5.6): ConfigArgParse for
+training (`-c`/`--config` YAML merged under CLI flags,
+`/root/reference/examples/train_seg.py:34-59`), Hydra for prediction
+(`predict.py:20-35`) and dotenv ``$DATA``/``$MODEL`` path substitution
+(`train_seg.py:21-31`).  This module unifies them on stdlib argparse +
+PyYAML with the same user-facing semantics:
+
+- ``-c cfg.yaml`` loads defaults from YAML; explicit CLI flags win;
+- ``$DATA`` / ``$MODEL`` (and any ``$VAR``) in path-typed values expand from
+  the environment, seeded from a ``.env`` file when present — with the
+  reference's substitution-chaining bug fixed (train_seg.py:27-31 dropped
+  the ``$DATA`` substitution when ``$MODEL`` was also present);
+- the prediction CLI reads the same YAML layout the reference's hydra
+  config used (``base.*`` / ``prediction.*`` groups).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env loader (KEY=VALUE lines; no override of existing env)."""
+    p = Path(path)
+    if not p.exists():
+        return
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        os.environ.setdefault(key.strip(), value.strip().strip("'\""))
+
+
+_VAR_RE = re.compile(r"\$(\w+)|\$\{(\w+)\}")
+
+
+def replace_env(value: str) -> str:
+    """Expand ``$VAR``/``${VAR}`` from the environment (chained correctly)."""
+    def sub(m):
+        name = m.group(1) or m.group(2)
+        return os.environ.get(name, m.group(0))
+    return _VAR_RE.sub(sub, str(value))
+
+
+def env_path(value: str) -> str:
+    return replace_env(value)
+
+
+def add_common_train_args(parser: argparse.ArgumentParser) -> None:
+    """Experiment-level flags (reference train_seg.py:34-56)."""
+    parser.add_argument("-c", "--config", type=str, default=None,
+                        help="YAML config file (values become defaults)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--neptune_project", type=str, default=None)
+    parser.add_argument("--experiment_name", type=str, default="experiment")
+    parser.add_argument("--data_path", type=env_path)
+    parser.add_argument("--image_group", type=str, default="images")
+    parser.add_argument("--label_group", type=str, default="labels")
+    parser.add_argument("--train_set", type=env_path)
+    parser.add_argument("--val_set", type=env_path)
+    parser.add_argument("--model_dir", type=env_path)
+    parser.add_argument("--log_dir", type=env_path)
+    parser.add_argument("--patch_size", type=int, nargs="+", default=[96, 96, 96])
+    parser.add_argument("--class_probabilities", type=float, nargs="+", default=None)
+    parser.add_argument("--patches_per_subject", type=int, default=10)
+    parser.add_argument("--data_augmentation", action="store_true")
+    parser.add_argument("--gpus", type=int, default=1,
+                        help="device count for the data-parallel mesh "
+                             "(name kept for reference CLI parity)")
+    parser.add_argument("--preload", action="store_true")
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--max_epochs", type=int, default=100)
+    parser.add_argument("--log_level", type=str, default="INFO")
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--no_bf16", dest="bf16", action="store_false")
+
+
+def add_seg_model_args(parser: argparse.ArgumentParser) -> None:
+    """SegmentationNet model flags (segmentation.py:43-53 hparams surface)."""
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--fmaps", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--in_channels", type=int, default=1)
+    parser.add_argument("--out_channels", type=int, default=1)
+    parser.add_argument("--log_interval", type=int, default=5)
+    parser.add_argument("--log_vis_mip", type=str, choices=["mean", "max"],
+                        default="mean")
+    parser.add_argument("--loss", choices=["DICE", "CE"], default="DICE")
+    parser.add_argument("--loss_weight", nargs="+", type=float, default=None)
+
+
+def add_landmark_model_args(parser: argparse.ArgumentParser) -> None:
+    """LandmarkNet model flags (landmarks.py:191-206, same defaults)."""
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--fmaps", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--in_channels", type=int, default=1)
+    parser.add_argument("--out_channels", type=int, default=1)
+    parser.add_argument("--log_interval", type=int, default=5)
+    parser.add_argument("--log_vis_mip", type=str, choices=["mean", "max"],
+                        default="mean")
+    parser.add_argument("--heatmap_group", type=str, default="heatmaps")
+    parser.add_argument("--loss_class", choices=["DICE", "CE"], default="DICE")
+    parser.add_argument("--loss_class_weight", nargs="+", type=float,
+                        default=[0.05, 1.0])
+    parser.add_argument("--loss_regression", choices=["L2", "L1"], default="L2")
+    parser.add_argument("--loss_regression_weight", type=float, nargs="+",
+                        default=[0.001, 0.015, 0.015, 0.015, 0.001, 0.001])
+
+
+def parse_with_config(parser: argparse.ArgumentParser,
+                      argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    """Parse argv with ``-c`` YAML values as defaults (CLI flags win).
+
+    Reproduces ConfigArgParse's merge order (train_seg.py:34-36): config
+    file < command line.  Path-typed YAML values get ``$VAR`` expansion.
+    """
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        with open(replace_env(pre.config)) as f:
+            cfg = yaml.safe_load(f) or {}
+        flat = _flatten(cfg)
+        known = {a.dest: a for a in parser._actions}
+        defaults = {}
+        for key, value in flat.items():
+            if key in known:
+                action = known[key]
+                if isinstance(value, str) and action.type in (env_path,):
+                    value = replace_env(value)
+                defaults[key] = value
+        parser.set_defaults(**defaults)
+    return parser.parse_args(argv)
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, f"{key}."))
+            # also allow leaf access without the group prefix
+            out.update({lk: lv for lk, lv in _flatten(v).items() if lk not in out})
+        else:
+            out[key] = v
+    return out
+
+
+def load_yaml_config(path, overrides: Optional[Sequence[str]] = None) -> Dict[str, Any]:
+    """Load a hydra-style grouped YAML (base.* / prediction.*) with
+    ``key=value`` dotted overrides (predict CLI, reference predict.py:20-35)."""
+    with open(replace_env(str(path))) as f:
+        cfg = yaml.safe_load(f) or {}
+    for item in overrides or []:
+        key, _, value = item.partition("=")
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(value)
+    return cfg
+
+
+def read_keyfile(path) -> List[str]:
+    """Read newline-separated subject keys (train_seg.py:89-95)."""
+    with open(replace_env(str(path))) as f:
+        return [line.strip() for line in f if line.strip()]

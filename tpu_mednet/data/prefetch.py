@@ -1,0 +1,65 @@
+"""Asynchronous host->device prefetching.
+
+TPU-native replacement for the reference's DataLoader worker processes +
+pinned-memory H2D copies (`/root/reference/midasmednet/segmentation.py:122-131`):
+a background thread runs the host-side patch sampling while the device
+computes, and batches are ``jax.device_put`` ahead of use so the train step
+never waits on PCIe/host (double buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+_SENTINEL = object()
+
+
+def device_prefetch(
+    host_iter: Iterator[Dict[str, np.ndarray]],
+    sharding=None,
+    buffer_size: int = 2,
+    array_keys=("data", "label"),
+) -> Iterator[Dict[str, object]]:
+    """Iterate ``host_iter`` on a background thread, device-putting arrays.
+
+    ``sharding`` (e.g. the data-axis NamedSharding) controls placement; the
+    non-array entries of each batch dict pass through untouched.  Errors in
+    the producer thread are re-raised at the consumer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=buffer_size)
+
+    def put(batch):
+        out = dict(batch)
+        for k in array_keys:
+            if k in out:
+                arr = np.ascontiguousarray(out[k])
+                out[k] = (
+                    jax.device_put(arr, sharding) if sharding is not None
+                    else jax.device_put(arr)
+                )
+        return out
+
+    def producer():
+        try:
+            for batch in host_iter:
+                q.put(put(batch))
+        except BaseException as e:  # surface producer errors to the consumer
+            q.put(e)
+            return
+        q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    thread.join()

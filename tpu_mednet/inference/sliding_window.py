@@ -1,0 +1,83 @@
+"""Sliding-window inference: tile -> batched jit forward -> stitch.
+
+TPU-native rebuild of the reference predict pipeline
+(`/root/reference/examples/predict.py:52-115`): overlap-tiled grid patches
+are batched to a FIXED batch size (padding the tail batch so every forward
+hits one cached XLA compilation — the jit answer to "dynamic shapes vs
+inference", SURVEY.md §7.3), run through the task's jit'd
+forward+postprocess step, cropped and stitched back into full volumes.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mednet.data.grid import GridPatchSampler
+from tpu_mednet.data.readers import HDF5Reader
+from tpu_mednet.data.stores import VolumeGroup
+from tpu_mednet.train.step import make_predict_step
+
+logger = logging.getLogger(__name__)
+
+
+def pad_batch(data: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad the leading axis up to ``batch_size`` by repeating the last patch."""
+    n = data.shape[0]
+    if n == batch_size:
+        return data
+    pad = np.repeat(data[-1:], batch_size - n, axis=0)
+    return np.concatenate([data, pad], axis=0)
+
+
+def predict_volumes(
+    task,
+    variables,
+    data_path,
+    subject_keys: Sequence[str],
+    patch_size: Sequence[int],
+    patch_overlap: Sequence[int],
+    batch_size: int = 8,
+    out_channels: Optional[int] = None,
+    channel_selection: Optional[Sequence[int]] = None,
+    image_group: str = "images",
+    reader_cls=HDF5Reader,
+    reader=None,
+    pad_mode: str = "constant",
+    out_dtype=np.uint8,
+) -> VolumeGroup:
+    """Run sliding-window inference over subjects; returns the assembled
+    ``VolumeGroup`` (key -> (out_channels, X, Y, Z) volume with affine)."""
+    if out_channels is None:
+        out_channels = getattr(task, "num_heatmaps", 0) + 1
+
+    sampler = GridPatchSampler(
+        data_path,
+        subject_keys,
+        patch_size,
+        patch_overlap,
+        out_channels=out_channels,
+        out_dtype=out_dtype,
+        channel_selection=channel_selection,
+        image_group=image_group,
+        reader_cls=reader_cls,
+        reader=reader,
+        pad_args={"mode": pad_mode},
+    )
+    predict_step = make_predict_step(task)
+
+    n_patches = 0
+    for batch in sampler.batches(batch_size, channels_last=True):
+        n = batch["data"].shape[0]
+        data = pad_batch(batch["data"], batch_size)
+        out = predict_step(variables, jnp.asarray(data))
+        out = np.asarray(jax.device_get(out))[:n]
+        sampler.add_processed_batch({**batch, "data": out}, channels_last=True)
+        n_patches += n
+    logger.info("processed %d patches over %d subjects", n_patches,
+                len(list(subject_keys)))
+    return sampler.get_assembled_data()

@@ -1,0 +1,16 @@
+from tpu_mednet.train.checkpoint import CheckpointManager, load_for_inference
+from tpu_mednet.train.loop import Trainer
+from tpu_mednet.train.state import TrainState, create_train_state, param_count
+from tpu_mednet.train.step import make_eval_step, make_predict_step, make_train_step
+
+__all__ = [
+    "Trainer",
+    "TrainState",
+    "create_train_state",
+    "param_count",
+    "make_train_step",
+    "make_eval_step",
+    "make_predict_step",
+    "CheckpointManager",
+    "load_for_inference",
+]

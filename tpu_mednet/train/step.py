@@ -1,0 +1,105 @@
+"""jit'd train/eval steps with on-device augmentation and donated buffers.
+
+TPU-native replacement for the reference's LightningModule
+``training_step``/``validation_step``
+(`/root/reference/midasmednet/segmentation.py:58-109`;
+`landmarks.py:66-162`): one traced function containing augmentation,
+forward, loss, backward and the optimizer update — XLA fuses the lot; the
+train state is donated so params/opt-state update in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_mednet.ops.augment import AugmentConfig, apply_augmentations
+from tpu_mednet.train.state import TrainState
+
+Array = jax.Array
+Batch = Dict[str, Array]
+
+
+def make_train_step(
+    task,
+    augment: Optional[AugmentConfig] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
+    """Build the jit'd training step for a task.
+
+    The returned step takes ``(state, batch)`` and returns
+    ``(new_state, metrics)`` where metrics includes ``train_loss`` (the
+    scalar name the reference logs, segmentation.py:64) plus any task aux
+    (class_loss / regression_loss for landmarks, landmarks.py:80-83).
+    """
+    model = task.model
+
+    def step(state: TrainState, batch: Batch):
+        aug_rng, new_rng = jax.random.split(state.rng)
+        data = batch["data"].astype(model.config.dtype)
+        label = batch["label"]
+        if augment is not None:
+            if augment.mirror_axes:
+                data, label = apply_augmentations(data, aug_rng, augment, label=label)
+            else:
+                data = apply_augmentations(data, aug_rng, augment)
+        task_batch = {"data": data, "label": label}
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                outputs, mutated = model.apply(
+                    variables, data, train=True, mutable=["batch_stats"]
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                outputs = model.apply(variables, data, train=True)
+                new_stats = None
+            loss, aux = task.loss_fn(outputs, task_batch)
+            return loss, (aux, new_stats)
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, rng=new_rng, batch_stats=new_stats
+        )
+        metrics = {"train_loss": loss, **aux}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(task) -> Callable[[TrainState, Batch], Dict[str, Array]]:
+    """Build the jit'd validation step returning the task's val metrics."""
+    model = task.model
+
+    def step(state: TrainState, batch: Batch) -> Dict[str, Array]:
+        data = batch["data"].astype(model.config.dtype)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        outputs = model.apply(variables, data, train=False)
+        return task.val_metrics(outputs, {"data": data, "label": batch["label"]})
+
+    return jax.jit(step)
+
+
+def make_predict_step(task) -> Callable[[Any, Array], Array]:
+    """jit'd inference step: forward (eval mode) + task postprocessing.
+
+    Takes raw variables (not TrainState) so frozen checkpoints restore
+    straight into it (reference predict.py:46-50 ``load_from_checkpoint`` +
+    ``freeze``).
+    """
+    model = task.model
+
+    def step(variables, data: Array) -> Array:
+        outputs = model.apply(variables, data.astype(model.config.dtype), train=False)
+        return task.predict_postprocess(outputs)
+
+    return jax.jit(step)
