@@ -1,0 +1,93 @@
+"""Headline benchmark: 3D training patches/sec/chip on the flagship model.
+
+Measures the full jit'd training step (on-device augmentation + forward +
+backward + Adam update, bf16 compute) of the flagship ResidualUNet3D
+(5 levels, f_maps=32 — the model both reference tasks train) on 96^3
+patches, on one real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` compares against the measured PyTorch reference-equivalent
+baseline in benchmarks/baseline.json (see benchmarks/torch_baseline.py —
+the reference itself publishes no numbers, BASELINE.md).
+
+Timing forces a device->host sync each window (block_until_ready does not
+reliably synchronize over the axon tunnel — see .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mednet.models import ResidualUNet3D
+    from tpu_mednet.ops.augment import AugmentConfig
+    from tpu_mednet.parallel.mesh import batch_sharding, make_mesh, replicated
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import create_train_state, make_train_step
+
+    PATCH = 96
+    BATCH = 8
+    ITERS = 20
+    WARMUP = 3
+
+    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=True)
+    task = SegmentationTask(model=model, loss="DICE")
+    mesh = make_mesh(n_data=min(len(jax.devices()), 8))
+    n_dev = mesh.shape["data"]
+
+    state = create_train_state(
+        model, (BATCH, PATCH, PATCH, PATCH, 1), learning_rate=1e-3, seed=0
+    )
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(task, augment=AugmentConfig(mirror_axes=(1, 2, 3)))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jax.device_put(
+            rng.normal(size=(BATCH, PATCH, PATCH, PATCH, 1)).astype(np.float32),
+            batch_sharding(mesh),
+        ),
+        "label": jax.device_put(
+            rng.integers(0, 2, size=(BATCH, PATCH, PATCH, PATCH, 1)).astype(np.uint8),
+            batch_sharding(mesh),
+        ),
+    }
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch)
+    _ = float(metrics["train_loss"])  # full sync
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch)
+    _ = float(metrics["train_loss"])  # sync end of window
+    dt = (time.perf_counter() - t0) / ITERS
+    pps_per_chip = BATCH / dt / n_dev
+
+    baseline_path = Path(__file__).parent / "benchmarks" / "baseline.json"
+    vs_baseline = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        # normalize: baseline measured at same patch size, per-"chip" (CPU host)
+        vs_baseline = pps_per_chip / base["train_patches_per_sec"]
+
+    print(json.dumps({
+        "metric": "train_patches_per_sec_per_chip_96cubed",
+        "value": round(pps_per_chip, 3),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

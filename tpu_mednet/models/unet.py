@@ -53,6 +53,10 @@ class UNetConfig:
     skip_final_activation: bool = False
     pool_type: str = "max"
     dtype: Any = jnp.bfloat16
+    # rematerialize encoder/decoder stages in the backward pass: trades
+    # ~one stage of recompute FLOPs for a large cut in activation HBM,
+    # raising the max trainable batch (jax.checkpoint / XLA remat)
+    remat: bool = False
 
     @property
     def feature_maps(self) -> Tuple[int, ...]:
@@ -86,26 +90,37 @@ class UNet3DBase(nn.Module):
             param_dtype=jnp.float32,
         )
 
+        # optional per-stage rematerialization: the backward pass recomputes
+        # each stage's activations instead of holding them in HBM
+        if cfg.remat:
+            run_enc = nn.remat(lambda mdl, x: mdl(x, train=train))
+            run_dec = nn.remat(lambda mdl, enc, x: mdl(enc, x, train=train))
+        else:
+            run_enc = lambda mdl, x: mdl(x, train=train)
+            run_dec = lambda mdl, enc, x: mdl(enc, x, train=train)
+
         x = x.astype(cfg.dtype)
         features = []
         for i, out_ch in enumerate(f_maps):
-            x = EncoderStage(
+            stage = EncoderStage(
                 out_channels=out_ch,
                 apply_pooling=i > 0,
                 pool_type=cfg.pool_type,
                 name=f"encoder{i}",
                 **common,
-            )(x, train=train)
+            )
+            x = run_enc(stage, x)
             features.append(x)
 
         # decoder consumes encoder features deepest-first, skipping the last
         skip_features = features[:-1][::-1]
         for i, enc in enumerate(skip_features):
-            x = DecoderStage(
+            stage = DecoderStage(
                 out_channels=enc.shape[-1],
                 name=f"decoder{i}",
                 **common,
-            )(enc, x, train=train)
+            )
+            x = run_dec(stage, enc, x)
 
         x = nn.Conv(
             features=cfg.out_channels,
@@ -159,6 +174,7 @@ def ResidualUNet3D(
     num_groups: int = 8,
     skip_final_activation: bool = False,
     dtype: Any = jnp.bfloat16,
+    remat: bool = False,
     **kwargs,
 ) -> UNet3DBase:
     """Residual 5-level 3D U-Net (reference model.py:113-213)."""
@@ -173,5 +189,6 @@ def ResidualUNet3D(
         final_sigmoid=final_sigmoid,
         skip_final_activation=skip_final_activation,
         dtype=dtype,
+        remat=remat,
     )
     return UNet3DBase(config=cfg)
