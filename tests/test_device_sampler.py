@@ -1,0 +1,121 @@
+"""Tests for the HBM-resident patch sampler and weighted inference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mednet.data import MemoryReader
+from tpu_mednet.data.device_sampler import DevicePatchSampler
+from tpu_mednet.inference.weighted import gaussian_window, predict_volumes_weighted
+from tpu_mednet.models import UNet3DBase, UNetConfig
+from tpu_mednet.tasks import SegmentationTask
+from tpu_mednet.train import Trainer, create_train_state
+
+
+def make_reader(shapes=((24, 24, 24), (28, 20, 24))):
+    rng = np.random.default_rng(0)
+    store = {"images": {}, "labels": {}}
+    attrs = {"images": {}}
+    for i, shape in enumerate(shapes):
+        key = f"s{i}"
+        img = rng.normal(0, 0.1, size=(1, *shape)).astype(np.float32)
+        lbl = np.zeros((1, *shape), dtype=np.uint8)
+        lbl[0, 4:12, 4:12, 4:12] = 1
+        img[0, 4:12, 4:12, 4:12] += 2.0
+        store["images"][key] = img
+        store["labels"][key] = lbl
+        attrs["images"][key] = {"affine": np.eye(4)}
+    return MemoryReader(store, attrs)
+
+
+def test_device_sampler_batches():
+    ds = DevicePatchSampler(
+        None, ["s0", "s1"], samples_per_subject=4, patch_size=[8, 8, 8],
+        reader=make_reader(), image_dtype=jnp.float32, seed=0,
+    )
+    batches = list(ds.batches(4))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["data"].shape == (4, 8, 8, 8, 1)
+    assert b["label"].shape == (4, 8, 8, 8, 1)
+    assert ds.device_resident
+
+
+def test_device_sampler_patches_match_host_volumes():
+    """Gathered patches must equal the host crop at the same corner."""
+    reader = make_reader()
+    ds = DevicePatchSampler(
+        None, ["s0", "s1"], samples_per_subject=4, patch_size=[8, 8, 8],
+        reader=reader, image_dtype=jnp.float32, seed=3,
+    )
+    subj, corners = ds.sample_indices(6)
+    out = ds._gather(ds.images, ds.labels, subj, corners)
+    imgs = list(reader.read(["s0", "s1"], "images", dtype=np.float32))
+    for i in range(6):
+        s = int(subj[i])
+        x, y, z = (int(v) for v in corners[i])
+        expect = np.moveaxis(imgs[s][:, x:x+8, y:y+8, z:z+8], 0, -1)
+        np.testing.assert_allclose(np.asarray(out["data"][i]), expect, atol=1e-6)
+
+
+def test_device_sampler_class_balanced():
+    ds = DevicePatchSampler(
+        None, ["s0"], samples_per_subject=16, patch_size=[8, 8, 8],
+        reader=make_reader(), class_probabilities=[0.0, 1.0],
+        image_dtype=jnp.float32, seed=1,
+    )
+    for b in ds.batches(8):
+        lbl = np.asarray(b["label"])
+        for i in range(lbl.shape[0]):
+            assert np.any(lbl[i] == 1)
+
+
+def test_device_sampler_corners_respect_true_shape():
+    ds = DevicePatchSampler(
+        None, ["s0", "s1"], samples_per_subject=32, patch_size=[16, 16, 16],
+        reader=make_reader(), image_dtype=jnp.float32, seed=2,
+    )
+    subj, corners = ds.sample_indices(64)
+    for s, c in zip(np.asarray(subj), np.asarray(corners)):
+        assert np.all(c + 16 <= ds.shapes[s]), (s, c, ds.shapes[s])
+
+
+def test_trainer_with_device_sampler():
+    ds = DevicePatchSampler(
+        None, ["s0", "s1"], samples_per_subject=4, patch_size=[8, 8, 8],
+        reader=make_reader(), image_dtype=jnp.float32,
+    )
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        num_groups=2, dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="DICE")
+    trainer = Trainer(task, ds, batch_size=4, max_epochs=2)
+    state = trainer.fit()
+    assert int(state.step) == 4
+
+
+def test_gaussian_window_properties():
+    w = gaussian_window([8, 8, 8])
+    assert w.shape == (8, 8, 8)
+    assert abs(w[3, 3, 3] - w.max()) < 1e-6  # peak at center (n-1)/2 rounded
+    assert w.min() >= 1e-3
+
+
+def test_weighted_inference_matches_geometry():
+    reader = make_reader(shapes=((24, 24, 24),))
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        num_groups=2, dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="DICE")
+    state = create_train_state(model, (2, 8, 8, 8, 1), 1e-3)
+    variables = {"params": state.params}
+    results = predict_volumes_weighted(
+        task, variables, None, ["s0"], patch_size=[8, 8, 8],
+        patch_overlap=[2, 2, 2], batch_size=4, reader=reader,
+    )
+    vol = np.asarray(results["s0"])
+    assert vol.shape == (1, 24, 24, 24)
+    assert vol.dtype == np.uint8
+    assert set(np.unique(vol)) <= {0, 1}

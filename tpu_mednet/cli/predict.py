@@ -54,8 +54,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     checkpoint_path = replace_env(pred["checkpoint"])
     chunk_size = pred.get("chunk_size", 16)
     model_name = pred.get("model", "SegmentationNet")
+    stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian'
 
     from tpu_mednet.inference.sliding_window import predict_volumes
+    from tpu_mednet.inference.weighted import predict_volumes_weighted
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
     from tpu_mednet.models.unet import ResidualUNet3D
@@ -100,15 +102,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     for c, chunk in enumerate(chunks):
         logger.info("chunk %d/%d", c, chunk_num)
-        results = predict_volumes(
-            task, variables, data_path, list(chunk),
-            patch_size=patch_size, patch_overlap=patch_overlap,
-            batch_size=batch_size,
-            out_channels=num_heatmaps + 1,
-            channel_selection=channel_selection,
-            image_group=image_group,
-            pad_mode="constant",
-        )
+        if stitch == "gaussian":
+            results = predict_volumes_weighted(
+                task, variables, data_path, list(chunk),
+                patch_size=patch_size, patch_overlap=patch_overlap,
+                batch_size=batch_size, image_group=image_group,
+                pad_mode="constant",
+            )
+        else:
+            results = predict_volumes(
+                task, variables, data_path, list(chunk),
+                patch_size=patch_size, patch_overlap=patch_overlap,
+                batch_size=batch_size,
+                out_channels=num_heatmaps + 1,
+                channel_selection=channel_selection,
+                image_group=image_group,
+                pad_mode="constant",
+            )
         if prediction_path:
             results.save(replace_env(prediction_path), group=prediction_group)
             logger.info("saved %d volumes to %s", len(results), prediction_path)

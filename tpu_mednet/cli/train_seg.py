@@ -44,9 +44,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from tpu_mednet.tasks import SegmentationTask
     from tpu_mednet.train import Trainer
     from tpu_mednet.utils.plots import make_seg_sample_visualizer
+    from tpu_mednet.utils.neptune_logger import maybe_create_neptune_run
     import jax
 
     np.random.seed(hparams.seed)
+    neptune_sink = maybe_create_neptune_run(
+        hparams.neptune_project, hparams.experiment_name,
+        hparams=vars(hparams), source_files=[__file__] +
+        ([hparams.config] if hparams.config else []),
+    )
 
     train_keys = read_keyfile(hparams.train_set)
     val_keys = read_keyfile(hparams.val_set) if hparams.val_set else []
@@ -91,6 +97,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         log_interval=hparams.log_interval,
         sample_visualizer=make_seg_sample_visualizer(hparams.log_vis_mip),
         hparams=vars(hparams),
+        metric_sinks=(neptune_sink,),
     )
     trainer.fit(resume=hparams.resume)
     return 0

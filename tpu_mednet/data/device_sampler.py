@@ -1,0 +1,173 @@
+"""Device-resident patch sampling: volumes live in HBM, host samples indices.
+
+The reference's input hot loop crops patches on the CPU in DataLoader
+workers (`/root/reference/midasmednet/dataset.py:285-346`), hiding its cost
+behind worker processes.  This host has one core and JAX has no worker-fork
+trick — so instead of making the CPU faster, remove it from the loop:
+
+1. all subject volumes are padded to a common shape and stacked into
+   device arrays once at startup (images bf16, labels+heatmaps uint8);
+2. per batch, the host only draws subject indices and class-balanced
+   corner positions (microseconds of integer work using the precomputed
+   any-masks);
+3. a jit'd gather (``lax.dynamic_slice`` over the stacked store) cuts the
+   training patches out of HBM on device — zero per-step host->device
+   volume traffic.
+
+Bounds checking note: corners are sampled against each subject's TRUE
+shape, so patches never read padding.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.sampling import get_labeled_position, get_random_patch_indices
+
+logger = logging.getLogger(__name__)
+
+
+class DevicePatchSampler:
+    """Drop-in alternative to ``PatchSampler`` with HBM-resident volumes.
+
+    Same constructor surface where it matters (subject_keys,
+    samples_per_subject, patch_size, groups, class_probabilities); emits
+    device-resident channels-last batches.  ``device_resident = True``
+    tells the Trainer to skip host->device prefetch.
+    """
+
+    device_resident = True
+
+    def __init__(
+        self,
+        data_path,
+        subject_keys: Sequence[str],
+        samples_per_subject: int,
+        patch_size: Sequence[int],
+        image_group: str = "images",
+        label_group: str = "labels",
+        heatmap_group: Optional[str] = None,
+        reader_cls=HDF5Reader,
+        reader: Optional[DataReader] = None,
+        class_probabilities: Optional[Sequence[float]] = None,
+        seed: int = 0,
+        image_dtype=jnp.bfloat16,
+        sharding=None,
+    ):
+        self.subject_keys = list(subject_keys)
+        self.samples_per_subject = samples_per_subject
+        self.patch_size = np.asarray(patch_size, dtype=np.int64)
+        self.rng = np.random.default_rng(seed)
+
+        self.class_probabilities = None
+        if class_probabilities is not None:
+            p = np.asarray(class_probabilities, dtype=np.float64)
+            self.class_probabilities = p / p.sum()
+
+        owns = reader is None
+        r = reader if reader is not None else reader_cls(data_path)
+        images = list(r.read(self.subject_keys, image_group, dtype=np.float32))
+        labels = list(r.read(self.subject_keys, label_group, dtype=np.uint8))
+        heatmaps = None
+        if heatmap_group:
+            heatmaps = list(r.read(self.subject_keys, heatmap_group, dtype=np.uint8))
+        if owns:
+            r.close()
+
+        # label layout: heatmap channels first, class map last (dataset.py:322-330)
+        if heatmaps is not None:
+            labels = [np.concatenate([h, l], axis=0) for h, l in zip(heatmaps, labels)]
+
+        self.shapes = np.asarray([img.shape[1:] for img in images], dtype=np.int64)
+        if np.any(self.shapes < self.patch_size):
+            raise ValueError("a subject volume is smaller than the patch size")
+        pad_shape = self.shapes.max(axis=0)
+
+        def stack(vols, dtype):
+            out = np.zeros((len(vols), vols[0].shape[0], *pad_shape), dtype=dtype)
+            for i, v in enumerate(vols):
+                s = v.shape
+                out[i, :, : s[1], : s[2], : s[3]] = v
+            # channels-last on device
+            return np.moveaxis(out, 1, -1)
+
+        img_np = stack(images, np.float32)
+        lbl_np = stack(labels, np.uint8)
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.device_put
+        self.images = put(jnp.asarray(img_np, dtype=image_dtype))
+        self.labels = put(jnp.asarray(lbl_np))
+        hbm_gb = (self.images.size * self.images.dtype.itemsize
+                  + self.labels.size) / 1e9
+        logger.info(
+            "device store: %d subjects padded to %s, ~%.2f GB HBM",
+            len(images), pad_shape.tolist(), hbm_gb,
+        )
+
+        # host-side class-balanced sampling maps (dataset.py:272-280)
+        self._class_maps: List[np.ndarray] = [lbl[-1] for lbl in labels]
+        self._label_ax2_any: List[List[np.ndarray]] = []
+        if self.class_probabilities is not None:
+            ncls = len(self.class_probabilities)
+            for cm in self._class_maps:
+                self._label_ax2_any.append(
+                    [np.any(cm == c, axis=2) for c in range(ncls)]
+                )
+
+        px, py, pz = (int(v) for v in self.patch_size)
+        n_img_c = self.images.shape[-1]
+        n_lbl_c = self.labels.shape[-1]
+
+        def gather(images, labels, subj, corners):
+            def one(s, c):
+                img = jax.lax.dynamic_slice(
+                    images, (s, c[0], c[1], c[2], 0), (1, px, py, pz, n_img_c)
+                )[0]
+                lbl = jax.lax.dynamic_slice(
+                    labels, (s, c[0], c[1], c[2], 0), (1, px, py, pz, n_lbl_c)
+                )[0]
+                return img, lbl
+
+            data, label = jax.vmap(one)(subj, corners)
+            return {"data": data, "label": label}
+
+        self._gather = jax.jit(gather)
+
+    def __len__(self) -> int:
+        return len(self.subject_keys) * self.samples_per_subject
+
+    def sample_indices(self, batch_size: int):
+        """Host-side index sampling: (subject_idx, corner) per element."""
+        subj = self.rng.integers(0, len(self.subject_keys), size=batch_size)
+        corners = np.zeros((batch_size, 3), dtype=np.int32)
+        for i, s in enumerate(subj):
+            pos = None
+            if self.class_probabilities is not None:
+                cls = int(self.rng.choice(
+                    len(self.class_probabilities), p=self.class_probabilities
+                ))
+                if cls > 0:
+                    pos = get_labeled_position(
+                        self._class_maps[s], cls,
+                        label_any=self._label_ax2_any[s][cls], rng=self.rng,
+                    )
+            ini, _ = get_random_patch_indices(
+                self.patch_size, self.shapes[s], pos=pos, rng=self.rng
+            )
+            corners[i] = ini
+        return jnp.asarray(subj.astype(np.int32)), jnp.asarray(corners)
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                drop_last: bool = True, channels_last: bool = True
+                ) -> Iterator[Dict[str, jax.Array]]:
+        del shuffle, drop_last, channels_last  # always-shuffled device batches
+        n_batches = max(len(self) // batch_size, 1)
+        for _ in range(n_batches):
+            subj, corners = self.sample_indices(batch_size)
+            yield self._gather(self.images, self.labels, subj, corners)

@@ -1,3 +1,12 @@
 from tpu_mednet.inference.sliding_window import pad_batch, predict_volumes
+from tpu_mednet.inference.weighted import (
+    gaussian_window,
+    predict_volumes_weighted,
+)
 
-__all__ = ["predict_volumes", "pad_batch"]
+__all__ = [
+    "predict_volumes",
+    "predict_volumes_weighted",
+    "gaussian_window",
+    "pad_batch",
+]

@@ -53,6 +53,9 @@ class Trainer:
         sample_visualizer: Optional[Callable] = None,
         log_interval: int = 5,
         hparams: Optional[dict] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 5,
+        metric_sinks=(),
     ):
         self.task = task
         self.train_sampler = train_sampler
@@ -66,6 +69,9 @@ class Trainer:
         self.sample_visualizer = sample_visualizer
         self.log_interval = log_interval
         self.hparams = hparams
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
         self._batch_sharding = batch_sharding(self.mesh)
@@ -74,7 +80,7 @@ class Trainer:
         self.train_step = make_train_step(task, augment=augment)
         self.eval_step = make_eval_step(task)
 
-        self.metrics = MetricsLogger(log_dir) if log_dir else None
+        self.metrics = MetricsLogger(log_dir, extra_sinks=metric_sinks) if log_dir else None
         self.ckpt = CheckpointManager(model_dir) if model_dir else None
 
         patch = np.asarray(train_sampler.patch_size)
@@ -106,12 +112,27 @@ class Trainer:
         step_times = []
         last_metrics = {}
         host_iter = self.train_sampler.batches(self.batch_size, shuffle=True)
+        if getattr(self.train_sampler, "device_resident", False):
+            batch_iter = host_iter  # batches are already in HBM
+        else:
+            batch_iter = device_prefetch(host_iter, sharding=self._batch_sharding)
         t_start = time.perf_counter()
         n_batches = 0
-        for batch in device_prefetch(host_iter, sharding=self._batch_sharding):
+        for batch in batch_iter:
             t0 = time.perf_counter()
+            if self.profile_dir and epoch == 0 and n_batches == 1:
+                # skip step 0 (compile), trace a few steady-state steps
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             arrays = {"data": batch["data"], "label": batch["label"]}
-            self.state, metrics = self.train_step(self.state, arrays)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=n_batches):
+                self.state, metrics = self.train_step(self.state, arrays)
+            if self._profiling and n_batches >= self.profile_steps:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), self.state.params
+                )
+                jax.profiler.stop_trace()
+                self._profiling = False
             if (n_batches % self.log_every) == 0:
                 # sync + log (forces host transfer of the scalars only)
                 scalars = {k: float(v) for k, v in metrics.items()}
@@ -140,9 +161,11 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         host_iter = self.val_sampler.batches(self.batch_size, shuffle=False)
-        for i, batch in enumerate(
-            device_prefetch(host_iter, sharding=self._batch_sharding)
-        ):
+        if getattr(self.val_sampler, "device_resident", False):
+            batch_iter = host_iter
+        else:
+            batch_iter = device_prefetch(host_iter, sharding=self._batch_sharding)
+        for i, batch in enumerate(batch_iter):
             arrays = {"data": batch["data"], "label": batch["label"]}
             metrics = self.eval_step(self.state, arrays)
             if self.sample_visualizer is not None and i % self.log_interval == 0:

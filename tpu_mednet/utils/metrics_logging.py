@@ -24,13 +24,15 @@ except ImportError:  # pragma: no cover
 class MetricsLogger:
     """Fan-out scalar/image logger."""
 
-    def __init__(self, log_dir, use_tensorboard: bool = True):
+    def __init__(self, log_dir, use_tensorboard: bool = True, extra_sinks=()):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a")
         self._tb = None
         if use_tensorboard and SummaryWriter is not None:
             self._tb = SummaryWriter(logdir=str(self.log_dir))
+        # additional sinks with the same interface (e.g. NeptuneSink)
+        self.extra_sinks = [s for s in extra_sinks if s is not None]
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         record = {"step": step, "time": time.time()}
@@ -40,13 +42,19 @@ class MetricsLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+        for sink in self.extra_sinks:
+            sink.log_scalars(step, scalars)
 
     def log_figure(self, tag: str, figure, step: int) -> None:
         """Log a matplotlib figure (MIP visualizations)."""
         if self._tb is not None:
             self._tb.add_figure(tag, figure, step)
+        for sink in self.extra_sinks:
+            sink.log_figure(tag, figure, step)
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        for sink in self.extra_sinks:
+            sink.close()
