@@ -1,0 +1,75 @@
+"""Whole-volume spatially-sharded inference tests (8 virtual CPU devices)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mednet.inference.spatial import predict_volume_spatial, receptive_halo
+from tpu_mednet.models import UNet3DBase, UNetConfig
+from tpu_mednet.parallel.mesh import make_mesh, shard_subject_keys
+from tpu_mednet.tasks import SegmentationTask
+from tpu_mednet.train import create_train_state
+
+
+def make_task():
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        num_groups=2, dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="DICE")
+    state = create_train_state(model, (1, 16, 16, 16, 1), 1e-3, seed=0)
+    return task, {"params": state.params}
+
+
+def test_receptive_halo_monotonic():
+    assert receptive_halo(2) < receptive_halo(3) < receptive_halo(5)
+
+
+def test_spatial_auto_matches_single_device():
+    task, variables = make_task()
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(1, 64, 16, 16)).astype(np.float32)
+
+    import jax
+    x = jnp.asarray(np.moveaxis(vol, 0, -1)[None])
+    ref = np.asarray(task.predict_postprocess(
+        task.model.apply(variables, x, train=False)
+    ))[0]
+    ref = np.moveaxis(ref, -1, 0)
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    out = predict_volume_spatial(task, variables, vol, mesh, mode="auto")
+    np.testing.assert_array_equal(out, ref)
+    assert out.shape == (1, 64, 16, 16)
+
+
+def test_spatial_auto_pads_odd_x():
+    task, variables = make_task()
+    vol = np.random.default_rng(1).normal(size=(1, 50, 16, 16)).astype(np.float32)
+    mesh = make_mesh(n_data=1, n_space=8)
+    out = predict_volume_spatial(task, variables, vol, mesh, mode="auto")
+    assert out.shape == (1, 50, 16, 16)
+
+
+def test_spatial_explicit_runs():
+    task, variables = make_task()
+    vol = np.random.default_rng(2).normal(size=(1, 64, 16, 16)).astype(np.float32)
+    mesh = make_mesh(n_data=1, n_space=8)
+    out = predict_volume_spatial(task, variables, vol, mesh, mode="explicit",
+                                 halo=4)
+    assert out.shape == (1, 64, 16, 16)
+    assert set(np.unique(out)) <= {0, 1}
+
+
+def test_shard_subject_keys():
+    keys = [f"k{i}" for i in range(10)]
+    s0 = shard_subject_keys(keys, process_index=0, process_count=4)
+    s3 = shard_subject_keys(keys, process_index=3, process_count=4)
+    assert s0 == ["k0", "k4", "k8"]
+    assert s3 == ["k3", "k7"]
+    all_keys = sorted(sum(
+        [shard_subject_keys(keys, i, 4) for i in range(4)], []
+    ))
+    assert all_keys == sorted(keys)
+    # single host = identity
+    assert shard_subject_keys(keys, 0, 1) == keys

@@ -39,6 +39,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     # heavyweight imports after arg parsing so --help stays fast
     from tpu_mednet.data import HDF5Reader, PatchSampler
+    from tpu_mednet.data.device_sampler import DevicePatchSampler
+    from tpu_mednet.parallel.mesh import shard_subject_keys
     from tpu_mednet.ops.augment import AugmentConfig
     from tpu_mednet.parallel.mesh import make_mesh
     from tpu_mednet.tasks import SegmentationTask
@@ -54,9 +56,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ([hparams.config] if hparams.config else []),
     )
 
-    train_keys = read_keyfile(hparams.train_set)
-    val_keys = read_keyfile(hparams.val_set) if hparams.val_set else []
+    # per-host key shard for multi-host input pipelines (identity on 1 host)
+    train_keys = shard_subject_keys(read_keyfile(hparams.train_set))
+    val_keys = shard_subject_keys(read_keyfile(hparams.val_set)) \
+        if hparams.val_set else []
     logger.info("train keys: %d, val keys: %d", len(train_keys), len(val_keys))
+    SamplerClass = DevicePatchSampler if hparams.device_sampler else PatchSampler
 
     transform = None  # host-side transform hook kept for parity; default off
     augment = None
@@ -64,16 +69,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         # reference Compose (train_seg.py:84-86), applied on device instead
         augment = AugmentConfig()
 
-    train_ds = PatchSampler(
+    train_ds = SamplerClass(
         hparams.data_path, train_keys, hparams.patches_per_subject,
         hparams.patch_size, image_group=hparams.image_group,
         label_group=hparams.label_group, heatmap_group=None,
         class_probabilities=hparams.class_probabilities,
-        reader_cls=HDF5Reader, transform=transform, seed=hparams.seed,
+        reader_cls=HDF5Reader, seed=hparams.seed,
+        **({"transform": transform} if not hparams.device_sampler else {}),
     )
     val_ds = None
     if val_keys:
-        val_ds = PatchSampler(
+        val_ds = SamplerClass(
             hparams.data_path, val_keys, hparams.patches_per_subject,
             hparams.patch_size, image_group=hparams.image_group,
             label_group=hparams.label_group, heatmap_group=None,

@@ -80,6 +80,9 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--log_level", type=str, default="INFO")
+    parser.add_argument("--device_sampler", action="store_true",
+                        help="keep volumes HBM-resident and gather patches "
+                             "on device (DevicePatchSampler)")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
 

@@ -89,7 +89,10 @@ def spatially_sharded_apply(
     pooling levels of 3^3 convs per block, reach grows with 2^L — pick
     halo >= the patch overlap you would use for sliding-window inference).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     spec = [None] * 5
     spec[spatial_axis] = SPACE_AXIS
@@ -100,5 +103,4 @@ def spatially_sharded_apply(
         out = fn(padded)
         return crop_halo(out, halo, spatial_axis=spatial_axis)
 
-    return shard_map(local, mesh=mesh, in_specs=(pspec,), out_specs=pspec,
-                     check_rep=False)
+    return shard_map(local, mesh=mesh, in_specs=(pspec,), out_specs=pspec)

@@ -86,3 +86,18 @@ def shard_batch(batch, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def shard_subject_keys(keys: Sequence[str],
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None) -> list:
+    """Per-host subject-key assignment for multi-host input pipelines.
+
+    Each host loads and samples only its own key shard (round-robin), so
+    the global batch is assembled from per-host local batches — the
+    "per-host sharded zarr patch streaming" of BASELINE config 5 and
+    SURVEY §5.8.  Defaults to jax's process env (single-host => identity).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [k for i, k in enumerate(keys) if i % pc == pi]
