@@ -102,3 +102,27 @@ def test_spatial_sharding_forward_consistent():
     xs = jax.device_put(x, spatial_sharding(mesh, axis=1))
     y_sharded = np.asarray(fwd(state.params, xs))
     np.testing.assert_allclose(y_ref, y_sharded, atol=1e-4)
+
+
+def test_multitask_data_parallel_train_step():
+    """BASELINE config 5 shape: joint seg+landmark multitask, dp mesh."""
+    from tpu_mednet.tasks import LandmarkTask
+
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=4, f_maps=4, num_levels=2,
+        block="residual", layer_order="cge", num_groups=2, dtype=jnp.float32,
+    ))
+    task = LandmarkTask(model=model, loss_regression_weight=[0.01, 0.01])
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    batch = shard_batch({
+        "data": rng.normal(size=(8, 8, 8, 8, 1)).astype(np.float32),
+        # 2 heatmap channels + class map last
+        "label": rng.integers(0, 2, size=(8, 8, 8, 8, 3)).astype(np.uint8),
+    }, mesh)
+    state = create_train_state(task.model, (8, 8, 8, 8, 1), 1e-3)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(task, donate=False)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert {"class_loss", "regression_loss"} <= set(metrics)

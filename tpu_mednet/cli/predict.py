@@ -36,6 +36,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     load_dotenv()
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level)
+    logging.getLogger("absl").setLevel(logging.WARNING)
     logger = logging.getLogger("predict")
     cfg = load_yaml_config(args.config, args.overrides)
 
@@ -60,7 +61,6 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from tpu_mednet.inference.weighted import predict_volumes_weighted
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
-    from tpu_mednet.models.unet import ResidualUNet3D
     import jax.numpy as jnp
     import types
 
@@ -72,13 +72,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # restore hparams first (stored beside the weights, the functional
     # analogue of load_from_checkpoint), then rebuild the task from them
     logger.info("loading model from %s ...", checkpoint_path)
-    probe_model = ResidualUNet3D(in_channels=1, out_channels=1)
     # hparams are needed to size the real template; read them via a cheap
     # JSON-only restore path
     from tpu_mednet.train.checkpoint import CheckpointManager
     import orbax.checkpoint as ocp
     mgr = CheckpointManager(checkpoint_path)
     step = mgr.latest_step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {checkpoint_path}")
+    try:
+        items = set(mgr._mgr.item_metadata(step).keys())
+    except Exception:
+        items = {"hparams"}
+    if "hparams" not in items:
+        raise ValueError(
+            f"checkpoint at {checkpoint_path} has no hparams side-car; "
+            "predict needs the training hparams to rebuild the model"
+        )
     hp_restored = mgr._mgr.restore(
         step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
     )["hparams"]

@@ -36,6 +36,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     load_dotenv()
     hparams = parse_with_config(build_parser(), argv)
     logging.basicConfig(level=hparams.log_level)
+    logging.getLogger("absl").setLevel(logging.WARNING)
     logger = logging.getLogger("train_ldmks")
 
     from tpu_mednet.data import HDF5Reader, PatchSampler

@@ -35,6 +35,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     load_dotenv()
     hparams = parse_with_config(build_parser(), argv)
     logging.basicConfig(level=hparams.log_level)
+    logging.getLogger("absl").setLevel(logging.WARNING)
     logger = logging.getLogger("train_seg")
 
     # heavyweight imports after arg parsing so --help stays fast

@@ -55,6 +55,18 @@ def env_path(value: str) -> str:
     return replace_env(value)
 
 
+def parse_remat(value):
+    """'0'/'false' -> False, 'all'/'true' -> True, 'k' -> int k."""
+    if isinstance(value, bool):
+        return value
+    v = str(value).lower()
+    if v in ("0", "false", "none", ""):
+        return False
+    if v in ("all", "true"):
+        return True
+    return int(v)
+
+
 def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     """Experiment-level flags (reference train_seg.py:34-56)."""
     parser.add_argument("-c", "--config", type=str, default=None,
@@ -80,6 +92,9 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--log_level", type=str, default="INFO")
+    parser.add_argument("--remat", type=str, default="0",
+                        help="rematerialization: 0=off, all=every stage, "
+                             "k=remat the k highest-resolution stages")
     parser.add_argument("--device_sampler", action="store_true",
                         help="keep volumes HBM-resident and gather patches "
                              "on device (DevicePatchSampler)")

@@ -54,9 +54,14 @@ class UNetConfig:
     pool_type: str = "max"
     dtype: Any = jnp.bfloat16
     # rematerialize encoder/decoder stages in the backward pass: trades
-    # ~one stage of recompute FLOPs for a large cut in activation HBM,
-    # raising the max trainable batch (jax.checkpoint / XLA remat)
-    remat: bool = False
+    # recompute FLOPs for activation HBM, raising the max trainable batch
+    # (jax.checkpoint / XLA remat).
+    #   False      — store everything
+    #   True       — remat every stage
+    #   int k >= 1 — remat only the k highest-resolution stages on each
+    #                side (where the activations actually live); deeper,
+    #                cheap-to-store stages keep their activations
+    remat: Union[bool, int] = False
 
     @property
     def feature_maps(self) -> Tuple[int, ...]:
@@ -91,13 +96,18 @@ class UNet3DBase(nn.Module):
         )
 
         # optional per-stage rematerialization: the backward pass recomputes
-        # each stage's activations instead of holding them in HBM
-        if cfg.remat:
-            run_enc = nn.remat(lambda mdl, x: mdl(x, train=train))
-            run_dec = nn.remat(lambda mdl, enc, x: mdl(enc, x, train=train))
+        # selected stages' activations instead of holding them in HBM
+        n_levels = len(f_maps)
+        if cfg.remat is True:
+            remat_k = n_levels
+        elif cfg.remat is False:
+            remat_k = 0
         else:
-            run_enc = lambda mdl, x: mdl(x, train=train)
-            run_dec = lambda mdl, enc, x: mdl(enc, x, train=train)
+            remat_k = int(cfg.remat)
+        run_enc_remat = nn.remat(lambda mdl, x: mdl(x, train=train))
+        run_dec_remat = nn.remat(lambda mdl, enc, x: mdl(enc, x, train=train))
+        run_enc = lambda mdl, x: mdl(x, train=train)
+        run_dec = lambda mdl, enc, x: mdl(enc, x, train=train)
 
         x = x.astype(cfg.dtype)
         features = []
@@ -109,18 +119,24 @@ class UNet3DBase(nn.Module):
                 name=f"encoder{i}",
                 **common,
             )
-            x = run_enc(stage, x)
+            # encoder stage i runs at spatial /2^i — remat the shallow ones
+            run = run_enc_remat if i < remat_k else run_enc
+            x = run(stage, x)
             features.append(x)
 
         # decoder consumes encoder features deepest-first, skipping the last
         skip_features = features[:-1][::-1]
+        n_dec = len(skip_features)
         for i, enc in enumerate(skip_features):
             stage = DecoderStage(
                 out_channels=enc.shape[-1],
                 name=f"decoder{i}",
                 **common,
             )
-            x = run_dec(stage, enc, x)
+            # decoder stage i outputs at spatial /2^(n_dec-1-i): the last
+            # remat_k stages are the high-resolution ones
+            run = run_dec_remat if (n_dec - 1 - i) < remat_k else run_dec
+            x = run(stage, enc, x)
 
         x = nn.Conv(
             features=cfg.out_channels,
@@ -174,7 +190,7 @@ def ResidualUNet3D(
     num_groups: int = 8,
     skip_final_activation: bool = False,
     dtype: Any = jnp.bfloat16,
-    remat: bool = False,
+    remat=False,
     **kwargs,
 ) -> UNet3DBase:
     """Residual 5-level 3D U-Net (reference model.py:113-213)."""

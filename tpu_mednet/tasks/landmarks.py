@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_mednet.models.unet import ResidualUNet3D, UNet3DBase
+from tpu_mednet.config import parse_remat as _parse_remat
 from tpu_mednet.ops import losses as L
 
 Array = jax.Array
@@ -43,6 +44,7 @@ class LandmarkTask:
             final_sigmoid=False,
             f_maps=hparams.fmaps,
             dtype=jnp.bfloat16 if getattr(hparams, "bf16", True) else jnp.float32,
+            remat=_parse_remat(getattr(hparams, "remat", False)),
         )
         return cls(
             model=model,
