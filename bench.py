@@ -40,7 +40,7 @@ def main():
     ITERS = 20
     WARMUP = 3
 
-    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=True)
+    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=2)
     task = SegmentationTask(model=model, loss="DICE")
     mesh = make_mesh(n_data=min(len(jax.devices()), 8))
     n_dev = mesh.shape["data"]

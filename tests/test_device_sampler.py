@@ -49,7 +49,7 @@ def test_device_sampler_patches_match_host_volumes():
         reader=reader, image_dtype=jnp.float32, seed=3,
     )
     subj, corners = ds.sample_indices(6)
-    out = ds._gather(ds.images, ds.labels, subj, corners)
+    out = ds._gather(ds.images, ds.labels, ds.landmarks_dev, subj, corners)
     imgs = list(reader.read(["s0", "s1"], "images", dtype=np.float32))
     for i in range(6):
         s = int(subj[i])
@@ -119,3 +119,38 @@ def test_weighted_inference_matches_geometry():
     assert vol.shape == (1, 24, 24, 24)
     assert vol.dtype == np.uint8
     assert set(np.unique(vol)) <= {0, 1}
+
+
+def test_device_sampler_landmark_synthesis():
+    """Heatmaps synthesized on device from coords match patch geometry."""
+    reader = make_reader(shapes=((24, 24, 24),))
+    # two landmarks: one at (8,8,8), one missing (sentinel -9999)
+    reader.store["landmarks"] = {"s0": np.asarray(
+        [[8.0, 8.0, 8.0], [-9999.0, -9999.0, -9999.0]], dtype=np.float32)}
+    ds = DevicePatchSampler(
+        None, ["s0"], samples_per_subject=4, patch_size=[16, 16, 16],
+        landmark_group="landmarks", heatmap_sigma=2.0,
+        reader=reader, image_dtype=jnp.float32, seed=0,
+    )
+    subj = jnp.zeros((2,), jnp.int32)
+    corners = jnp.asarray([[0, 0, 0], [8, 8, 8]], jnp.int32)
+    out = ds._gather(ds.images, ds.labels, ds.landmarks_dev, subj, corners)
+    label = np.asarray(out["label"])
+    assert label.shape == (2, 16, 16, 16, 3)  # 2 heatmaps + class map last
+    # patch at corner 0: landmark 0 at local (8,8,8) -> peak 255
+    assert label[0, 8, 8, 8, 0] == 255
+    # patch at corner (8,8,8): landmark 0 at local (0,0,0) -> peak at origin
+    assert label[1, 0, 0, 0, 0] == 255
+    # absent landmark channel all zero
+    assert label[..., 1].max() == 0
+    # class map still last channel
+    assert set(np.unique(label[..., -1])) <= {0, 1}
+
+
+def test_device_sampler_rejects_both_heatmap_sources():
+    reader = make_reader(shapes=((24, 24, 24),))
+    with pytest.raises(ValueError):
+        DevicePatchSampler(
+            None, ["s0"], 1, [8, 8, 8], heatmap_group="h",
+            landmark_group="l", reader=reader,
+        )

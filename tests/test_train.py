@@ -163,3 +163,22 @@ def test_batchnorm_state_updates():
     state, _ = step(state, batch)
     after = jax.tree_util.tree_leaves(state.batch_stats)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_landmark_coordinate_error():
+    import jax.numpy as jnp
+    from tpu_mednet.ops.heatmap import batched_gaussian_heatmaps
+    from tpu_mednet.tasks.landmarks import landmark_coordinate_error
+
+    true_c = jnp.asarray([[[4.0, 4.0, 4.0], [10.0, 10.0, 10.0]]])
+    pred_c = jnp.asarray([[[4.0, 4.0, 7.0], [10.0, 10.0, 10.0]]])  # 3 off, 0 off
+    true_hm = batched_gaussian_heatmaps(true_c, (16, 16, 16), 1.5)
+    pred_hm = batched_gaussian_heatmaps(pred_c, (16, 16, 16), 1.5)
+    err = float(landmark_coordinate_error(pred_hm, true_hm))
+    assert abs(err - 1.5) < 1e-5  # mean of (3, 0)
+
+    # absent landmark (all-zero GT heatmap) is excluded
+    true_c2 = jnp.asarray([[[4.0, 4.0, 4.0], [-9999.0, -9999.0, -9999.0]]])
+    true_hm2 = batched_gaussian_heatmaps(true_c2, (16, 16, 16), 1.5)
+    err2 = float(landmark_coordinate_error(pred_hm, true_hm2))
+    assert abs(err2 - 3.0) < 1e-5

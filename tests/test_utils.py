@@ -38,13 +38,19 @@ def test_gaussian_heatmap_sigma_controls_spread():
 
 
 def test_gaussian_heatmap_missing_landmark():
-    hm = gaussian_heatmap(jnp.asarray([[-1.0, 0.0, 0.0]]), (4, 4, 4), 1.0)
+    hm = gaussian_heatmap(jnp.asarray([[-9999.0, -9999.0, -9999.0]]), (4, 4, 4), 1.0)
     assert float(jnp.max(hm)) == 0.0
+
+
+def test_gaussian_heatmap_out_of_volume_tail_renders():
+    # a landmark just outside the crop still contributes its tail
+    hm = gaussian_heatmap(jnp.asarray([[-2.0, 2.0, 2.0]]), (8, 8, 8), 3.0)
+    assert float(hm[0, 2, 2, 0]) > 50.0
 
 
 def test_batched_heatmaps_and_jit():
     coords = jnp.asarray([[[2.0, 2.0, 2.0], [5.0, 5.0, 5.0]],
-                          [[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0]]])
+                          [[1.0, 1.0, 1.0], [-9999.0, -9999.0, -9999.0]]])
     f = jax.jit(lambda c: batched_gaussian_heatmaps(c, (8, 8, 8), 1.5))
     hm = f(coords)
     assert hm.shape == (2, 8, 8, 8, 2)

@@ -53,6 +53,8 @@ class DevicePatchSampler:
         image_group: str = "images",
         label_group: str = "labels",
         heatmap_group: Optional[str] = None,
+        landmark_group: Optional[str] = None,
+        heatmap_sigma: float = 4.0,
         reader_cls=HDF5Reader,
         reader: Optional[DataReader] = None,
         class_probabilities: Optional[Sequence[float]] = None,
@@ -60,6 +62,14 @@ class DevicePatchSampler:
         image_dtype=jnp.bfloat16,
         sharding=None,
     ):
+        """``landmark_group`` names a group of per-subject (L, 3) landmark
+        voxel coordinates; Gaussian heatmaps (sigma ``heatmap_sigma``, 0..255
+        amplitude) are then SYNTHESIZED ON DEVICE inside the gather instead
+        of being stored/streamed as volumes — the north-star replacement for
+        the reference's precomputed ``heatmap_group`` datasets.  Mutually
+        exclusive with ``heatmap_group``."""
+        if heatmap_group and landmark_group:
+            raise ValueError("pass either heatmap_group or landmark_group, not both")
         self.subject_keys = list(subject_keys)
         self.samples_per_subject = samples_per_subject
         self.patch_size = np.asarray(patch_size, dtype=np.int64)
@@ -77,6 +87,10 @@ class DevicePatchSampler:
         heatmaps = None
         if heatmap_group:
             heatmaps = list(r.read(self.subject_keys, heatmap_group, dtype=np.uint8))
+        landmarks = None
+        if landmark_group:
+            landmarks = list(r.read(self.subject_keys, landmark_group,
+                                    dtype=np.float32))
         if owns:
             r.close()
 
@@ -120,11 +134,20 @@ class DevicePatchSampler:
                     [np.any(cm == c, axis=2) for c in range(ncls)]
                 )
 
+        # landmark coords resident on device for on-the-fly heatmap synthesis
+        self.landmarks_dev = None
+        if landmarks is not None:
+            lm = np.stack([np.asarray(l, dtype=np.float32) for l in landmarks])
+            self.landmarks_dev = put(jnp.asarray(lm))  # (S, L, 3)
+        self.heatmap_sigma = heatmap_sigma
+
         px, py, pz = (int(v) for v in self.patch_size)
         n_img_c = self.images.shape[-1]
         n_lbl_c = self.labels.shape[-1]
 
-        def gather(images, labels, subj, corners):
+        def gather(images, labels, landmark_coords, subj, corners):
+            from tpu_mednet.ops.heatmap import gaussian_heatmap
+
             def one(s, c):
                 img = jax.lax.dynamic_slice(
                     images, (s, c[0], c[1], c[2], 0), (1, px, py, pz, n_img_c)
@@ -132,12 +155,23 @@ class DevicePatchSampler:
                 lbl = jax.lax.dynamic_slice(
                     labels, (s, c[0], c[1], c[2], 0), (1, px, py, pz, n_lbl_c)
                 )[0]
+                if landmark_coords is not None:
+                    # patch-local coordinates; landmarks outside the crop
+                    # fall outside [0, patch) and render ~zero naturally,
+                    # negatives are masked by gaussian_heatmap itself
+                    local = landmark_coords[s] - c[None, :].astype(jnp.float32)
+                    hm = gaussian_heatmap(
+                        local, (px, py, pz), heatmap_sigma, amplitude=255.0
+                    )
+                    lbl = jnp.concatenate(
+                        [hm.astype(jnp.uint8), lbl], axis=-1
+                    )  # heatmaps first, class map LAST
                 return img, lbl
 
             data, label = jax.vmap(one)(subj, corners)
             return {"data": data, "label": label}
 
-        self._gather = jax.jit(gather)
+        self._gather = jax.jit(gather, static_argnames=())
 
     def __len__(self) -> int:
         return len(self.subject_keys) * self.samples_per_subject
@@ -170,4 +204,4 @@ class DevicePatchSampler:
         n_batches = max(len(self) // batch_size, 1)
         for _ in range(n_batches):
             subj, corners = self.sample_indices(batch_size)
-            yield self._gather(self.images, self.labels, subj, corners)
+            yield self._gather(self.images, self.labels, self.landmarks_dev, subj, corners)

@@ -104,10 +104,13 @@ class UNet3DBase(nn.Module):
             remat_k = 0
         else:
             remat_k = int(cfg.remat)
-        run_enc_remat = nn.remat(lambda mdl, x: mdl(x, train=train))
-        run_dec_remat = nn.remat(lambda mdl, enc, x: mdl(enc, x, train=train))
         run_enc = lambda mdl, x: mdl(x, train=train)
         run_dec = lambda mdl, enc, x: mdl(enc, x, train=train)
+        if remat_k > 0:
+            run_enc_remat = nn.remat(lambda mdl, x: mdl(x, train=train))
+            run_dec_remat = nn.remat(lambda mdl, enc, x: mdl(enc, x, train=train))
+        else:
+            run_enc_remat, run_dec_remat = run_enc, run_dec
 
         x = x.astype(cfg.dtype)
         features = []

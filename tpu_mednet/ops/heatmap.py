@@ -31,9 +31,11 @@ def gaussian_heatmap(
     """Render Gaussian heatmaps for landmark coordinates.
 
     Args:
-        coords: (L, 3) landmark voxel coordinates (may be fractional).
-            A coordinate with any negative component renders as all-zeros
-            (missing-landmark convention).
+        coords: (L, 3) landmark voxel coordinates (may be fractional,
+            may lie OUTSIDE the volume — the Gaussian tail still renders,
+            matching the crop-a-stored-heatmap semantics of the reference).
+            A coordinate with any component < -1000 is treated as a
+            missing-landmark sentinel and renders as all-zeros.
         shape: spatial (X, Y, Z) of the output.
         sigma: scalar or per-landmark (L,) standard deviation in voxels.
         amplitude: peak value (reference convention: 255).
@@ -63,7 +65,7 @@ def gaussian_heatmap(
     hm = (
         ex[:, None, None, :] * ey[None, :, None, :] * ez[None, None, :, :]
     ) * amplitude
-    valid = jnp.all(coords >= 0, axis=-1)
+    valid = jnp.all(coords > -1000.0, axis=-1)
     hm = jnp.where(valid[None, None, None, :], hm, 0.0)
     return hm.astype(dtype)
 

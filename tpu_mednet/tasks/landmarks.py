@@ -26,6 +26,25 @@ from tpu_mednet.ops import losses as L
 Array = jax.Array
 
 
+def landmark_coordinate_error(pred_heatmaps: Array, true_heatmaps: Array) -> Array:
+    """Mean Euclidean distance (voxels) between predicted and ground-truth
+    heatmap peaks — the landmark accuracy metric of the north-star
+    ("matched landmark coordinates", BASELINE.json).
+
+    Landmarks whose GT heatmap is all-zero in the patch (landmark outside
+    the crop) are excluded from the mean.
+    """
+    from tpu_mednet.ops.heatmap import heatmap_argmax_coords
+
+    pred = heatmap_argmax_coords(pred_heatmaps).astype(jnp.float32)
+    true = heatmap_argmax_coords(true_heatmaps).astype(jnp.float32)
+    dist = jnp.sqrt(jnp.sum((pred - true) ** 2, axis=-1))  # (..., L)
+    present = jnp.max(
+        true_heatmaps, axis=tuple(range(1, true_heatmaps.ndim - 1))
+    ) > 0  # (N, L)
+    return jnp.sum(dist * present) / jnp.clip(jnp.sum(present), min=1.0)
+
+
 @dataclasses.dataclass
 class LandmarkTask:
     """Joint heatmap-regression + segmentation multitask."""
@@ -103,6 +122,7 @@ class LandmarkTask:
             "val_loss": total,
             "val_class_loss": aux["class_loss"],
             "val_regression_loss": aux["regression_loss"],
+            "val_landmark_error": landmark_coordinate_error(out_heatmaps, heatmaps),
         }
         for c in range(self.num_classes):
             metrics[f"val_dice{c}"] = per_channel[c]
