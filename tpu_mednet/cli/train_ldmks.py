@@ -67,21 +67,31 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # the reference always augments for landmarks (train_ldmks.py:82-84)
     augment = AugmentConfig()
 
+    if hparams.landmark_group and not hparams.device_sampler:
+        raise SystemExit("--landmark_group (on-device heatmap synthesis) "
+                         "requires --device_sampler")
+    extra = {}
+    if hparams.landmark_group:
+        extra = {"landmark_group": hparams.landmark_group,
+                 "heatmap_sigma": hparams.heatmap_sigma, "heatmap_group": None}
+
     train_ds = SamplerClass(
         hparams.data_path, train_keys, hparams.patches_per_subject,
         hparams.patch_size, image_group=hparams.image_group,
-        label_group=hparams.label_group, heatmap_group=hparams.heatmap_group,
+        label_group=hparams.label_group,
         class_probabilities=hparams.class_probabilities,
         reader_cls=HDF5Reader, seed=hparams.seed,
+        **(extra or {"heatmap_group": hparams.heatmap_group}),
     )
     val_ds = None
     if val_keys:
         val_ds = SamplerClass(
             hparams.data_path, val_keys, hparams.patches_per_subject,
             hparams.patch_size, image_group=hparams.image_group,
-            label_group=hparams.label_group, heatmap_group=hparams.heatmap_group,
+            label_group=hparams.label_group,
             class_probabilities=None, reader_cls=HDF5Reader,
             seed=hparams.seed + 1,
+            **(extra or {"heatmap_group": hparams.heatmap_group}),
         )
 
     task = LandmarkTask.from_hparams(hparams)

@@ -129,6 +129,12 @@ def add_landmark_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--log_vis_mip", type=str, choices=["mean", "max"],
                         default="mean")
     parser.add_argument("--heatmap_group", type=str, default="heatmaps")
+    parser.add_argument("--landmark_group", type=str, default=None,
+                        help="group of per-subject (L,3) landmark coords; "
+                             "heatmaps are synthesized ON DEVICE instead of "
+                             "loading stored heatmap volumes (requires "
+                             "--device_sampler)")
+    parser.add_argument("--heatmap_sigma", type=float, default=4.0)
     parser.add_argument("--loss_class", choices=["DICE", "CE"], default="DICE")
     parser.add_argument("--loss_class_weight", nargs="+", type=float,
                         default=[0.05, 1.0])
