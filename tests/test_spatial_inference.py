@@ -73,3 +73,31 @@ def test_shard_subject_keys():
     assert all_keys == sorted(keys)
     # single host = identity
     assert shard_subject_keys(keys, 0, 1) == keys
+
+
+def test_data_parallel_inference_matches_single_device():
+    """predict_volumes with an 8-way data mesh must match 1-device output."""
+    from tpu_mednet.data import MemoryReader
+    from tpu_mednet.inference.sliding_window import predict_volumes
+
+    task, variables = make_task()
+    rng = np.random.default_rng(3)
+    store = {"images": {"k": rng.normal(size=(1, 24, 24, 24)).astype(np.float32)}}
+
+    def run(mesh):
+        reader = MemoryReader(store)
+        return np.asarray(predict_volumes(
+            task, variables, None, ["k"], patch_size=[8, 8, 8],
+            patch_overlap=[2, 2, 2], batch_size=8, reader=reader, mesh=mesh,
+        )["k"])
+
+    single = run(None)
+    dp = run(make_mesh(n_data=8))
+    np.testing.assert_array_equal(single, dp)
+
+    # batch not divisible by mesh -> clean error
+    reader = MemoryReader(store)
+    with pytest.raises(ValueError):
+        predict_volumes(task, variables, None, ["k"], patch_size=[8, 8, 8],
+                        patch_overlap=[2, 2, 2], batch_size=3, reader=reader,
+                        mesh=make_mesh(n_data=8))

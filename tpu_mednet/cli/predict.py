@@ -56,6 +56,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     chunk_size = pred.get("chunk_size", 16)
     model_name = pred.get("model", "SegmentationNet")
     stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian'
+    n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
 
     from tpu_mednet.inference.sliding_window import predict_volumes
     from tpu_mednet.inference.weighted import predict_volumes_weighted
@@ -104,6 +105,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     else:
         raise ValueError(f"unknown prediction.model {model_name!r}")
 
+    mesh = None
+    if n_devices and n_devices > 1:
+        import jax
+        from tpu_mednet.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=min(n_devices, len(jax.devices())))
+
     in_ch = task.model.config.in_channels
     template = create_train_state(
         task.model, (1, *patch_size, in_ch), learning_rate=1e-3,
@@ -128,6 +135,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 channel_selection=channel_selection,
                 image_group=image_group,
                 pad_mode="constant",
+                mesh=mesh,
             )
         if prediction_path:
             results.save(replace_env(prediction_path), group=prediction_group)

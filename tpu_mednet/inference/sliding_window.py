@@ -49,11 +49,27 @@ def predict_volumes(
     reader=None,
     pad_mode: str = "constant",
     out_dtype=np.uint8,
+    mesh=None,
 ) -> VolumeGroup:
     """Run sliding-window inference over subjects; returns the assembled
-    ``VolumeGroup`` (key -> (out_channels, X, Y, Z) volume with affine)."""
+    ``VolumeGroup`` (key -> (out_channels, X, Y, Z) volume with affine).
+
+    With ``mesh``, patch batches are sharded over the 'data' axis — data-
+    parallel inference across chips (``batch_size`` must divide evenly).
+    """
     if out_channels is None:
         out_channels = getattr(task, "num_heatmaps", 0) + 1
+    sharding = None
+    if mesh is not None:
+        from tpu_mednet.parallel.mesh import batch_sharding, replicated
+
+        n_data = mesh.shape.get("data", 1)
+        if batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis {n_data}"
+            )
+        sharding = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicated(mesh))
 
     sampler = GridPatchSampler(
         data_path,
@@ -74,7 +90,11 @@ def predict_volumes(
     for batch in sampler.batches(batch_size, channels_last=True):
         n = batch["data"].shape[0]
         data = pad_batch(batch["data"], batch_size)
-        out = predict_step(variables, jnp.asarray(data))
+        data = (
+            jax.device_put(data, sharding) if sharding is not None
+            else jnp.asarray(data)
+        )
+        out = predict_step(variables, data)
         out = np.asarray(jax.device_get(out))[:n]
         sampler.add_processed_batch({**batch, "data": out}, channels_last=True)
         n_patches += n
