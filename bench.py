@@ -3,7 +3,9 @@
 Measures the full jit'd training step (on-device augmentation + forward +
 backward + Adam update, bf16 compute) of the flagship ResidualUNet3D
 (5 levels, f_maps=32 — the model both reference tasks train) on 96^3
-patches, on one real TPU chip.
+patches, on one real TPU chip.  Runs in z-packed compute mode (identical
+logical math, lanes kept full — docs/PERFORMANCE.md) with selective
+rematerialization at batch 16.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -36,11 +38,11 @@ def main():
     from tpu_mednet.train import create_train_state, make_train_step
 
     PATCH = 96
-    BATCH = 8
+    BATCH = 16
     ITERS = 20
     WARMUP = 3
 
-    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=2)
+    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=2, packed=True)
     task = SegmentationTask(model=model, loss="DICE")
     mesh = make_mesh(n_data=min(len(jax.devices()), 8))
     n_dev = mesh.shape["data"]

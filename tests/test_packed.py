@@ -1,0 +1,122 @@
+"""Tests for the z-packed compute mode (ops.packed + packed model path)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mednet.models import UNet3DBase, UNetConfig
+from tpu_mednet.ops.packed import (
+    build_packed_weights,
+    choose_z_block,
+    pack_z,
+    packed_conv3d,
+    packed_group_norm,
+    unpack_z,
+)
+
+
+def test_pack_unpack_roundtrip():
+    x = jnp.asarray(np.arange(2 * 4 * 4 * 8 * 3).reshape(2, 4, 4, 8, 3))
+    assert np.array_equal(np.asarray(unpack_z(pack_z(x, 4), 4)), np.asarray(x))
+    with pytest.raises(ValueError):
+        pack_z(x, 3)  # 8 % 3 != 0
+
+
+def test_choose_z_block():
+    assert choose_z_block(32, 96) == 4
+    assert choose_z_block(64, 48) == 2
+    assert choose_z_block(128, 24) == 1
+    assert choose_z_block(32, 6) == 2  # limited by z divisibility
+
+
+def test_packed_conv_matches_plain():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    out = unpack_z(packed_conv3d(pack_z(x, 4), w, 4), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_conv_bias():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 3)).astype(np.float32))
+    b = jnp.asarray([1.0, 2.0, 3.0])
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    ) + b
+    out = unpack_z(packed_conv3d(pack_z(x, 2), w, 2, bias=b), 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_group_norm_matches_plain():
+    from flax import linen as nn
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, 8)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-5)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    out = unpack_z(packed_group_norm(pack_z(x, 4), 4, 4, scale, bias), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def make_cfgs(block="residual", order="cge"):
+    cfg = UNetConfig(
+        in_channels=1, out_channels=2, f_maps=8, num_levels=3,
+        block=block, layer_order=order, num_groups=4, dtype=jnp.float32,
+    )
+    return cfg, dataclasses.replace(cfg, packed=True)
+
+
+@pytest.mark.parametrize("block,order", [("residual", "cge"), ("double", "crg")])
+def test_packed_unet_forward_matches_unpacked(block, order):
+    """Same params through packed and unpacked paths -> same output."""
+    cfg, cfg_p = make_cfgs(block, order)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    )
+    m, mp = UNet3DBase(config=cfg), UNet3DBase(config=cfg_p)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # param trees identical -> checkpoints interchangeable
+    vp = mp.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    y = np.asarray(m.apply(v, x))
+    yp = np.asarray(mp.apply(v, x))
+    np.testing.assert_allclose(y, yp, atol=1e-4)
+
+
+def test_packed_unet_gradients_match():
+    cfg, cfg_p = make_cfgs()
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    )
+    m, mp = UNet3DBase(config=cfg), UNet3DBase(config=cfg_p)
+    v = m.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(v["params"])
+    gp = jax.grad(lambda p: jnp.sum(mp.apply({"params": p}, x) ** 2))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(gp)):
+        # different contraction order -> fp32 rounding; relative match
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-2)
+
+
+def test_packed_with_remat():
+    cfg, cfg_p = make_cfgs()
+    cfg_pr = dataclasses.replace(cfg_p, remat=2)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    )
+    m = UNet3DBase(config=cfg)
+    mpr = UNet3DBase(config=cfg_pr)
+    v = m.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(v, x)), np.asarray(mpr.apply(v, x)), atol=1e-4
+    )

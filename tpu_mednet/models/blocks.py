@@ -100,33 +100,65 @@ class ConvLayer(nn.Module):
     padding: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # z-packed compute mode (tpu_mednet.ops.packed): operate on
+    # (..., Z/zb, zb*C) tensors with identical logical math and params
+    z_block: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
         validate_order(self.order)
         use_bias = not ("g" in self.order or "b" in self.order)
         k = self.kernel_size
+        zb = self.z_block
+        if zb > 1 and "b" in self.order:
+            raise ValueError("packed mode does not support BatchNorm orders")
         for char in self.order:
             if char == "c":
-                x = nn.Conv(
-                    features=self.out_channels,
-                    kernel_size=(k, k, k),
-                    padding=self.padding,
-                    use_bias=use_bias,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name="conv",
-                )(x)
+                if zb > 1:
+                    from tpu_mednet.models.packed_layers import PackedConv
+
+                    x = PackedConv(
+                        features=self.out_channels,
+                        kernel_size=k,
+                        use_bias=use_bias,
+                        z_block=zb,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name="conv",
+                    )(x)
+                else:
+                    x = nn.Conv(
+                        features=self.out_channels,
+                        kernel_size=(k, k, k),
+                        padding=self.padding,
+                        use_bias=use_bias,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name="conv",
+                    )(x)
             elif char in "rle":
                 x = _nonlinearity(char)(x)
             elif char == "g":
-                x = nn.GroupNorm(
-                    num_groups=group_count(x.shape[-1], self.num_groups),
-                    epsilon=1e-5,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name="groupnorm",
-                )(x)
+                logical_c = x.shape[-1] // zb
+                if zb > 1:
+                    from tpu_mednet.models.packed_layers import PackedGroupNorm
+
+                    x = PackedGroupNorm(
+                        num_groups=group_count(logical_c, self.num_groups),
+                        z_block=zb,
+                        epsilon=1e-5,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name="groupnorm",
+                    )(x)
+                else:
+                    x = nn.GroupNorm(
+                        num_groups=group_count(logical_c, self.num_groups),
+                        epsilon=1e-5,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name="groupnorm",
+                    )(x)
             elif char == "b":
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -154,10 +186,11 @@ class DoubleConv(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    z_block: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
-        in_channels = x.shape[-1]
+        in_channels = x.shape[-1] // self.z_block
         if self.encoder:
             mid = max(self.out_channels // 2, in_channels)
         else:
@@ -168,6 +201,7 @@ class DoubleConv(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            z_block=self.z_block,
         )
         x = ConvLayer(out_channels=mid, name="conv1", **common)(x, train=train)
         x = ConvLayer(out_channels=self.out_channels, name="conv2", **common)(x, train=train)
@@ -199,6 +233,7 @@ class ExtResNetBlock(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    z_block: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
@@ -208,6 +243,7 @@ class ExtResNetBlock(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            z_block=self.z_block,
         )
         out = ConvLayer(order=self.order, name="conv1", **common)(x, train=train)
         residual = out
@@ -257,11 +293,15 @@ class EncoderStage(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    z_block: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        from tpu_mednet.ops.packed import pack_z, unpack_z
+
         if self.apply_pooling:
             x = pool3d(x, self.pool_window, self.pool_type)
+        x = pack_z(x, self.z_block)
         x = BLOCKS[self.block](
             out_channels=self.out_channels,
             encoder=True,
@@ -270,9 +310,10 @@ class EncoderStage(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            z_block=self.z_block,
             name="block",
         )(x, train=train)
-        return x
+        return unpack_z(x, self.z_block)
 
 
 def resize_nearest(x: jax.Array, spatial: Sequence[int]) -> jax.Array:
@@ -306,11 +347,13 @@ class DecoderStage(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    z_block: int = 1
 
     @nn.compact
     def __call__(
         self, encoder_features: jax.Array, x: jax.Array, *, train: bool = True
     ) -> jax.Array:
+        from tpu_mednet.ops.packed import pack_z, unpack_z
         if self.block == "double":
             x = resize_nearest(x, encoder_features.shape[1:4])
             x = jnp.concatenate([encoder_features, x], axis=-1)
@@ -326,6 +369,7 @@ class DecoderStage(nn.Module):
                 name="upsample",
             )(x)
             x = x + encoder_features
+        x = pack_z(x, self.z_block)
         x = BLOCKS[self.block](
             out_channels=self.out_channels,
             encoder=False,
@@ -334,9 +378,10 @@ class DecoderStage(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            z_block=self.z_block,
             name="block",
         )(x, train=train)
-        return x
+        return unpack_z(x, self.z_block)
 
 
 class FinalConv(nn.Module):

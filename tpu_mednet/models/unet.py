@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tpu_mednet.models.blocks import DecoderStage, EncoderStage
+from tpu_mednet.ops.packed import choose_z_block
 
 Dtype = Any
 
@@ -62,6 +63,11 @@ class UNetConfig:
     #                side (where the activations actually live); deeper,
     #                cheap-to-store stages keep their activations
     remat: Union[bool, int] = False
+    # z-packed compute mode: fold z-slices into channels at shallow levels
+    # so TPU lanes are full (2.6x faster level-0 convs, 4x faster VPU ops;
+    # identical logical math and checkpoint-compatible params — see
+    # tpu_mednet.ops.packed and docs/PERFORMANCE.md)
+    packed: bool = False
 
     @property
     def feature_maps(self) -> Tuple[int, ...]:
@@ -113,12 +119,16 @@ class UNet3DBase(nn.Module):
             run_enc_remat, run_dec_remat = run_enc, run_dec
 
         x = x.astype(cfg.dtype)
+        z_extent = x.shape[3]
         features = []
         for i, out_ch in enumerate(f_maps):
+            z_i = z_extent // (2**i)
+            zb = choose_z_block(out_ch, z_i) if cfg.packed else 1
             stage = EncoderStage(
                 out_channels=out_ch,
                 apply_pooling=i > 0,
                 pool_type=cfg.pool_type,
+                z_block=zb,
                 name=f"encoder{i}",
                 **common,
             )
@@ -131,8 +141,12 @@ class UNet3DBase(nn.Module):
         skip_features = features[:-1][::-1]
         n_dec = len(skip_features)
         for i, enc in enumerate(skip_features):
+            zb = (
+                choose_z_block(enc.shape[-1], enc.shape[3]) if cfg.packed else 1
+            )
             stage = DecoderStage(
                 out_channels=enc.shape[-1],
+                z_block=zb,
                 name=f"decoder{i}",
                 **common,
             )
@@ -194,6 +208,7 @@ def ResidualUNet3D(
     skip_final_activation: bool = False,
     dtype: Any = jnp.bfloat16,
     remat=False,
+    packed: bool = False,
     **kwargs,
 ) -> UNet3DBase:
     """Residual 5-level 3D U-Net (reference model.py:113-213)."""
@@ -209,5 +224,6 @@ def ResidualUNet3D(
         skip_final_activation=skip_final_activation,
         dtype=dtype,
         remat=remat,
+        packed=packed,
     )
     return UNet3DBase(config=cfg)
