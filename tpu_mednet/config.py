@@ -92,6 +92,10 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--log_level", type=str, default="INFO")
+    parser.add_argument("--packed", action="store_true",
+                        help="z-packed compute mode: fold z-slices into "
+                             "channels at shallow levels (faster on TPU; "
+                             "identical math and checkpoints)")
     parser.add_argument("--remat", type=str, default="0",
                         help="rematerialization: 0=off, all=every stage, "
                              "k=remat the k highest-resolution stages")

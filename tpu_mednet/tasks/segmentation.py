@@ -48,6 +48,7 @@ class SegmentationTask:
             f_maps=hparams.fmaps,
             dtype=jnp.bfloat16 if getattr(hparams, "bf16", True) else jnp.float32,
             remat=_parse_remat(getattr(hparams, "remat", False)),
+            packed=bool(getattr(hparams, "packed", False)),
         )
         return cls(
             model=model,
