@@ -154,3 +154,27 @@ def test_device_sampler_rejects_both_heatmap_sources():
             None, ["s0"], 1, [8, 8, 8], heatmap_group="h",
             landmark_group="l", reader=reader,
         )
+
+
+def test_on_device_inference_matches_host_stitched():
+    from tpu_mednet.inference.device_sliding import predict_volumes_on_device
+    from tpu_mednet.inference.sliding_window import predict_volumes
+
+    reader_store = make_reader(shapes=((24, 24, 24), (17, 19, 23)))
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        num_groups=2, dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="DICE")
+    state = create_train_state(model, (2, 8, 8, 8, 1), 1e-3)
+    variables = {"params": state.params}
+    kw = dict(patch_size=[8, 8, 8], patch_overlap=[2, 2, 2], batch_size=4)
+    ref = predict_volumes(task, variables, None, ["s0", "s1"],
+                          reader=make_reader(shapes=((24, 24, 24), (17, 19, 23))),
+                          pad_mode="constant", **kw)
+    dev = predict_volumes_on_device(task, variables, None, ["s0", "s1"],
+                                    reader=make_reader(shapes=((24, 24, 24), (17, 19, 23))),
+                                    **kw)
+    for k in ["s0", "s1"]:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(dev[k]))
+        assert np.asarray(dev[k].attrs["affine"]).shape == (4, 4)

@@ -55,11 +55,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     checkpoint_path = replace_env(pred["checkpoint"])
     chunk_size = pred.get("chunk_size", 16)
     model_name = pred.get("model", "SegmentationNet")
-    stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian'
+    stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian' | 'device'
     n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
 
     from tpu_mednet.inference.sliding_window import predict_volumes
     from tpu_mednet.inference.weighted import predict_volumes_weighted
+    from tpu_mednet.inference.device_sliding import predict_volumes_on_device
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
     import jax.numpy as jnp
@@ -119,7 +120,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     for c, chunk in enumerate(chunks):
         logger.info("chunk %d/%d", c, chunk_num)
-        if stitch == "gaussian":
+        if stitch == "device":
+            results = predict_volumes_on_device(
+                task, variables, data_path, list(chunk),
+                patch_size=patch_size, patch_overlap=patch_overlap,
+                batch_size=batch_size, image_group=image_group,
+                pad_mode="constant",
+            )
+        elif stitch == "gaussian":
             results = predict_volumes_weighted(
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,

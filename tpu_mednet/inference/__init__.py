@@ -1,3 +1,4 @@
+from tpu_mednet.inference.device_sliding import predict_volumes_on_device
 from tpu_mednet.inference.sliding_window import pad_batch, predict_volumes
 from tpu_mednet.inference.weighted import (
     gaussian_window,
@@ -6,6 +7,7 @@ from tpu_mednet.inference.weighted import (
 
 __all__ = [
     "predict_volumes",
+    "predict_volumes_on_device",
     "predict_volumes_weighted",
     "gaussian_window",
     "pad_batch",

@@ -1,0 +1,182 @@
+"""Fully on-device sliding-window inference: tile -> forward -> stitch in ONE jit.
+
+The host-driven pipeline (`sliding_window.py`) moves every patch across the
+host<->device boundary twice and stitches on (this host's single) CPU —
+measured at ~1 patch/s end-to-end while the chip can run ~20+.  This module
+is the north-star alternative (BASELINE.json: "overlap-tiled ... TPU kernel
+with on-device stitching"): the volume is device-put once, a jit'd scan
+gathers patch batches with ``dynamic_slice``, runs the model, crops each
+patch's core and writes it back with ``dynamic_update_slice`` — the cores
+tile the padded volume disjointly (reference grid geometry,
+dataset.py:369-380), so the scatter is race-free.  One host round-trip per
+volume.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mednet.data.grid import num_grid_patches
+from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.stores import VolumeGroup
+
+
+def _grid_corners(img_size, patch_size, overlap):
+    """Static tile corners in the padded volume (reference stride geometry)."""
+    img_size = np.asarray(img_size, dtype=np.int64)
+    patch_size = np.asarray(patch_size, dtype=np.int64)
+    overlap = np.asarray(overlap, dtype=np.int64)
+    stride = patch_size - 2 * overlap
+    if np.any(stride <= 0):
+        raise ValueError("patch_overlap too large for patch_size")
+    n = np.ceil(img_size / stride).astype(np.int64)
+    corners = np.stack(np.meshgrid(
+        *[np.arange(nk) * sk for nk, sk in zip(n, stride)], indexing="ij"
+    ), axis=-1).reshape(-1, 3)
+    overhead = (-img_size) % stride
+    padded = img_size + 2 * overlap + overhead
+    return corners.astype(np.int32), padded
+
+
+def make_device_predictor(task, patch_size: Sequence[int],
+                          patch_overlap: Sequence[int], batch_size: int,
+                          pad_mode: str = "constant"):
+    """Build the jit'd (variables, volume, corners) -> stitched result fn.
+
+    ``volume`` is the UNPADDED (X, Y, Z, C) channels-last volume — padding
+    happens on device so only the raw voxels cross the (slow) host link;
+    ``corners`` is (n_batches, batch_size, 3) int32 tile corners in the
+    padded domain (pad the tail batch by repeating a corner — later writes
+    of identical content are harmless).  Returns the stitched
+    (X, Y, Z, outC) uint8 volume already cropped to the input extent.
+    """
+    model = task.model
+    px, py, pz = (int(v) for v in patch_size)
+    ov = tuple(int(v) for v in patch_overlap)
+
+    @partial(jax.jit, static_argnames=("pads",))
+    def run(variables, volume, corners, pads):
+        img_shape = volume.shape[:3]
+        volume = jnp.pad(
+            volume, tuple(pads) + ((0, 0),),
+            mode=pad_mode if pad_mode != "constant" else "constant",
+        )
+        c_in = volume.shape[-1]
+        out_c = getattr(task, "num_heatmaps", 0) + 1
+
+        def gather(corner):
+            return jax.lax.dynamic_slice(
+                volume, (corner[0], corner[1], corner[2], 0), (px, py, pz, c_in)
+            )
+
+        def step(out_vol, corner_batch):
+            patches = jax.vmap(gather)(corner_batch)
+            logits = model.apply(
+                variables, patches.astype(model.config.dtype), train=False
+            )
+            processed = task.predict_postprocess(logits)  # (B,...,outC) uint8
+            core = processed[
+                :, ov[0]:px - ov[0], ov[1]:py - ov[1], ov[2]:pz - ov[2], :
+            ]
+
+            def write(i, acc):
+                corner = corner_batch[i]
+                return jax.lax.dynamic_update_slice(
+                    acc, core[i],
+                    (corner[0] + ov[0], corner[1] + ov[1], corner[2] + ov[2], 0),
+                )
+
+            out_vol = jax.lax.fori_loop(0, core.shape[0], write, out_vol)
+            return out_vol, None
+
+        out0 = jnp.zeros((*volume.shape[:3], out_c), jnp.uint8)
+        out, _ = jax.lax.scan(step, out0, corners)
+        # crop back to the original extent on device (smaller download)
+        return out[
+            ov[0]:ov[0] + img_shape[0],
+            ov[1]:ov[1] + img_shape[1],
+            ov[2]:ov[2] + img_shape[2],
+        ]
+
+    return run
+
+
+# predictor cache: building a new jit closure per call would recompile
+# (one compile is ~25s over the remote-compile path); key on the task
+# object identity + geometry
+_PREDICTOR_CACHE: Dict = {}
+
+
+def _cached_predictor(task, patch_size, patch_overlap, batch_size, pad_mode):
+    key = (id(task), patch_size, patch_overlap, batch_size, pad_mode)
+    if key not in _PREDICTOR_CACHE:
+        _PREDICTOR_CACHE[key] = make_device_predictor(
+            task, patch_size, patch_overlap, batch_size, pad_mode=pad_mode
+        )
+    return _PREDICTOR_CACHE[key]
+
+
+def predict_volumes_on_device(
+    task,
+    variables,
+    data_path,
+    subject_keys: Sequence[str],
+    patch_size: Sequence[int],
+    patch_overlap: Sequence[int],
+    batch_size: int = 8,
+    image_group: str = "images",
+    reader_cls=HDF5Reader,
+    reader: Optional[DataReader] = None,
+    pad_mode: str = "constant",
+    out_dtype=np.uint8,
+) -> VolumeGroup:
+    """Drop-in alternative to ``predict_volumes`` with on-device stitching.
+
+    Volumes with the same shape share one compiled executable (corner
+    arrays are data, not shape, as long as the tile count matches).
+    """
+    owns = reader is None
+    r = reader if reader is not None else reader_cls(data_path)
+    shapes = r.get_data_shape(subject_keys, image_group)
+    affines = r.get_data_attribute(subject_keys, image_group, "affine")
+    # f16 preload matches the reference/host pipeline (dataset.py:441)
+    volumes = list(r.read(subject_keys, image_group, dtype=np.float16))
+    if owns:
+        r.close()
+
+    predictor = _cached_predictor(task, tuple(patch_size), tuple(patch_overlap),
+                                  batch_size, pad_mode)
+    ov = np.asarray(patch_overlap, dtype=np.int64)
+    results = VolumeGroup()
+    out_c = getattr(task, "num_heatmaps", 0) + 1
+
+    for key, vol in zip(subject_keys, volumes):
+        img_size = np.asarray(vol.shape[1:], dtype=np.int64)
+        corners, padded = _grid_corners(img_size, patch_size, patch_overlap)
+        n_p = corners.shape[0]
+        n_batches = -(-n_p // batch_size)
+        pad_n = n_batches * batch_size - n_p
+        if pad_n:
+            corners = np.concatenate([corners, np.repeat(corners[-1:], pad_n, 0)])
+        corners = corners.reshape(n_batches, batch_size, 3)
+        pads = tuple(
+            (int(o), int(p - s - o)) for o, p, s in zip(ov, padded, img_size)
+        )
+
+        # half-width upload: only the raw voxels cross the host link,
+        # as the model's compute dtype (pad + crop happen on device)
+        vol_cl = np.moveaxis(np.asarray(vol), 0, -1)
+        vol_dev = jnp.asarray(vol_cl, dtype=task.model.config.dtype)
+        core = np.asarray(jax.device_get(
+            predictor(variables, vol_dev, jnp.asarray(corners), pads)
+        ))
+        vol_cf = np.moveaxis(core, -1, 0).astype(out_dtype)
+        ds = results.require_dataset(key, (out_c, *img_size), out_dtype)
+        ds[:] = vol_cf
+        ds.attrs["affine"] = np.asarray(affines[key]).tolist()
+    return results
