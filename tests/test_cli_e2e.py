@@ -163,3 +163,33 @@ def test_train_ldmks_cli_end_to_end(workspace):
     keys = set().union(*[set(m) for m in metrics])
     assert {"train_loss", "class_loss", "regression_loss",
             "val_class_loss", "val_regression_loss"} <= keys
+
+
+def test_predict_cli_device_stitch_matches_crop(workspace):
+    train_seg_main(seg_args(workspace))
+    (workspace / "test.txt").write_text("subj0\n")
+    base_cfg = {
+        "base": {"data": str(workspace / "data.h5"), "image_group": "images",
+                 "sigma": None},
+        "prediction": {
+            "test_set": str(workspace / "test.txt"),
+            "patch_size": [16, 16, 16],
+            "patch_overlap": [4, 4, 4],
+            "channel_selection": None,
+            "batch_size": 4,
+            "data": str(workspace / "pred_crop.h5"),
+            "group": "prediction",
+            "checkpoint": str(workspace / "model"),
+            "chunk_size": 2,
+            "model": "SegmentationNet",
+        },
+    }
+    cfg_path = workspace / "predict2.yaml"
+    cfg_path.write_text(yaml.safe_dump(base_cfg))
+    assert predict_main(["-c", str(cfg_path)]) == 0
+    assert predict_main(["-c", str(cfg_path), "prediction.stitch=device",
+                         f"prediction.data={workspace/'pred_dev.h5'}"]) == 0
+    with h5py.File(workspace / "pred_crop.h5") as a, \
+            h5py.File(workspace / "pred_dev.h5") as b:
+        np.testing.assert_array_equal(a["prediction/subj0"][:],
+                                      b["prediction/subj0"][:])
