@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
-from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
@@ -63,7 +62,6 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from tpu_mednet.inference.device_sliding import predict_volumes_on_device
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
-    import jax.numpy as jnp
     import types
 
     test_keys = read_keyfile(test_set)

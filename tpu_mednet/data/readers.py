@@ -21,7 +21,7 @@ import time
 import tracemalloc
 from collections import deque
 from pathlib import Path
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 

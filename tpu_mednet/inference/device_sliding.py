@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_mednet.data.grid import num_grid_patches
 from tpu_mednet.data.readers import DataReader, HDF5Reader
 from tpu_mednet.data.stores import VolumeGroup
 

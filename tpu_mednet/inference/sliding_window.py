@@ -11,7 +11,7 @@ forward+postprocess step, cropped and stitched back into full volumes.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

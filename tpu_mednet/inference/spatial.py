@@ -16,10 +16,9 @@ Two modes:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tpu_mednet.parallel.halo import spatially_sharded_apply

@@ -20,8 +20,7 @@ Design notes (TPU-first, not a translation):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ only in ``testing`` mode exactly like the reference (model.py:107-108,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ z-slices exactly as they would over the equivalent spatial positions.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

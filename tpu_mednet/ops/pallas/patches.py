@@ -20,8 +20,7 @@ Two implementations with identical semantics:
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

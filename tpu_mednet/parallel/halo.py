@@ -24,12 +24,11 @@ overlapping tiles.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_mednet.parallel.mesh import SPACE_AXIS
 

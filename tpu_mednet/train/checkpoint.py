@@ -14,7 +14,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from tpu_mednet.train.state import TrainState

@@ -10,11 +10,9 @@ train state is donated so params/opt-state update in place in HBM.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from tpu_mednet.ops.augment import AugmentConfig, apply_augmentations
 from tpu_mednet.train.state import TrainState
