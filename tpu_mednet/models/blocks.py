@@ -293,14 +293,32 @@ class EncoderStage(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     z_block: int = 1
+    # packed_io: input/output stay z-packed (pooling runs in packed layout
+    # via lane slices) — no per-stage relayout copies.  ``z_block_in`` is
+    # the input's packing (the previous stage's z_block); pooling halves it
+    # down to this stage's z_block.
+    packed_io: bool = False
+    z_block_in: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
-        from tpu_mednet.ops.packed import pack_z, unpack_z
+        from tpu_mednet.ops.packed import pack_z, packed_pool2, unpack_z
 
-        if self.apply_pooling:
-            x = pool3d(x, self.pool_window, self.pool_type)
-        x = pack_z(x, self.z_block)
+        if self.packed_io:
+            if self.apply_pooling:
+                if max(self.z_block_in // 2, 1) != self.z_block:
+                    raise ValueError(
+                        f"packed_io pooling needs z_block == z_block_in//2 "
+                        f"(got in={self.z_block_in}, block={self.z_block})"
+                    )
+                if self.z_block_in > 1:
+                    x = packed_pool2(x, self.z_block_in, self.pool_type)
+                else:
+                    x = pool3d(x, self.pool_window, self.pool_type)
+        else:
+            if self.apply_pooling:
+                x = pool3d(x, self.pool_window, self.pool_type)
+            x = pack_z(x, self.z_block)
         x = BLOCKS[self.block](
             out_channels=self.out_channels,
             encoder=True,
@@ -312,7 +330,7 @@ class EncoderStage(nn.Module):
             z_block=self.z_block,
             name="block",
         )(x, train=train)
-        return unpack_z(x, self.z_block)
+        return x if self.packed_io else unpack_z(x, self.z_block)
 
 
 def resize_nearest(x: jax.Array, spatial: Sequence[int]) -> jax.Array:
@@ -347,12 +365,21 @@ class DecoderStage(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     z_block: int = 1
+    # packed_io (residual join only): encoder_features and the output are
+    # packed at z_block; x (the deeper decoder output) is packed at
+    # max(z_block // 2, 1)
+    packed_io: bool = False
 
     @nn.compact
     def __call__(
         self, encoder_features: jax.Array, x: jax.Array, *, train: bool = True
     ) -> jax.Array:
         from tpu_mednet.ops.packed import pack_z, unpack_z
+
+        if self.packed_io and self.block != "residual":
+            raise ValueError("packed_io decoder requires the residual join")
+        if self.packed_io:
+            x = unpack_z(x, max(self.z_block // 2, 1))
         if self.block == "double":
             x = resize_nearest(x, encoder_features.shape[1:4])
             x = jnp.concatenate([encoder_features, x], axis=-1)
@@ -367,8 +394,12 @@ class DecoderStage(nn.Module):
                 param_dtype=self.param_dtype,
                 name="upsample",
             )(x)
-            x = x + encoder_features
-        x = pack_z(x, self.z_block)
+            if self.packed_io:
+                x = pack_z(x, self.z_block) + encoder_features
+            else:
+                x = x + encoder_features
+        if not self.packed_io:
+            x = pack_z(x, self.z_block)
         x = BLOCKS[self.block](
             out_channels=self.out_channels,
             encoder=False,
@@ -380,7 +411,7 @@ class DecoderStage(nn.Module):
             z_block=self.z_block,
             name="block",
         )(x, train=train)
-        return unpack_z(x, self.z_block)
+        return x if self.packed_io else unpack_z(x, self.z_block)
 
 
 class FinalConv(nn.Module):

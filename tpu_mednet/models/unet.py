@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tpu_mednet.models.blocks import DecoderStage, EncoderStage
-from tpu_mednet.ops.packed import choose_z_block
+from tpu_mednet.ops.packed import choose_z_block, pack_z, unpack_z
 
 Dtype = Any
 
@@ -120,15 +120,30 @@ class UNet3DBase(nn.Module):
 
         x = x.astype(cfg.dtype)
         z_extent = x.shape[3]
+        # packed_io pipeline (residual nets): the volume is packed ONCE at
+        # entry; pooling, skips and joins all stay in packed layout, and
+        # per-level block sizes halve with each pool so channels x z_block
+        # stays at full lanes.  The 'double' family keeps per-stage packing
+        # (its concat join interleaves channels).
+        packed_io = cfg.packed and cfg.block == "residual"
+        zb0 = choose_z_block(f_maps[0], z_extent) if cfg.packed else 1
+        zbs = [max(zb0 >> i, 1) for i in range(n_levels)]
+        if packed_io:
+            x = pack_z(x, zb0)
         features = []
         for i, out_ch in enumerate(f_maps):
             z_i = z_extent // (2**i)
-            zb = choose_z_block(out_ch, z_i) if cfg.packed else 1
+            if packed_io:
+                zb = zbs[i]
+            else:
+                zb = choose_z_block(out_ch, z_i) if cfg.packed else 1
             stage = EncoderStage(
                 out_channels=out_ch,
                 apply_pooling=i > 0,
                 pool_type=cfg.pool_type,
                 z_block=zb,
+                packed_io=packed_io,
+                z_block_in=zbs[i - 1] if (packed_io and i > 0) else zb,
                 name=f"encoder{i}",
                 **common,
             )
@@ -141,12 +156,17 @@ class UNet3DBase(nn.Module):
         skip_features = features[:-1][::-1]
         n_dec = len(skip_features)
         for i, enc in enumerate(skip_features):
-            zb = (
-                choose_z_block(enc.shape[-1], enc.shape[3]) if cfg.packed else 1
-            )
+            level = n_dec - 1 - i  # spatial level of this stage's output
+            if packed_io:
+                zb = zbs[level]
+                enc_ch = enc.shape[-1] // zb
+            else:
+                zb = choose_z_block(enc.shape[-1], enc.shape[3]) if cfg.packed else 1
+                enc_ch = enc.shape[-1]
             stage = DecoderStage(
-                out_channels=enc.shape[-1],
+                out_channels=enc_ch,
                 z_block=zb,
+                packed_io=packed_io,
                 name=f"decoder{i}",
                 **common,
             )
@@ -155,13 +175,27 @@ class UNet3DBase(nn.Module):
             run = run_dec_remat if (n_dec - 1 - i) < remat_k else run_dec
             x = run(stage, enc, x)
 
-        x = nn.Conv(
-            features=cfg.out_channels,
-            kernel_size=(1, 1, 1),
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            name="final_conv",
-        )(x)
+        if packed_io:
+            from tpu_mednet.models.packed_layers import PackedConv
+
+            x = PackedConv(
+                features=cfg.out_channels,
+                kernel_size=1,
+                use_bias=True,
+                z_block=zb0,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="final_conv",
+            )(x)
+            x = unpack_z(x, zb0)
+        else:
+            x = nn.Conv(
+                features=cfg.out_channels,
+                kernel_size=(1, 1, 1),
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="final_conv",
+            )(x)
         # fp32 logits: cheap (tiny channel dim) and stabilizes softmax/Dice.
         x = x.astype(jnp.float32)
 

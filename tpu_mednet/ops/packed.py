@@ -118,6 +118,42 @@ def packed_group_norm(x_packed: Array, zb: int, num_groups: int,
     return (xn * sc + bi).astype(x_packed.dtype)
 
 
+def packed_pool2(x_packed: Array, zb: int, pool_type: str = "max") -> Array:
+    """2x2x2 stride-2 pooling directly on a z-packed tensor.
+
+    X/Y pool via ``reduce_window``; the z-pair reduction happens INSIDE the
+    lane dimension (z-slices zi and zi+1 of a block live at lane offsets
+    zi*C and (zi+1)*C), so no unpack/repack relayout is needed.  Output is
+    packed at ``zb // 2`` over the halved z extent — exactly the block size
+    the next (channel-doubled) U-Net level wants.  Requires even ``zb``.
+    """
+    if zb % 2 != 0:
+        raise ValueError(f"packed_pool2 needs an even z_block, got {zb}")
+    import jax.lax as lax
+
+    init, op = (
+        (-jnp.inf, lax.max) if pool_type == "max" else (0.0, lax.add)
+    )
+    x32 = x_packed.astype(jnp.float32)
+    pooled_xy = lax.reduce_window(
+        x32, init, op,
+        window_dimensions=(1, 2, 2, 1, 1),
+        window_strides=(1, 2, 2, 1, 1),
+        padding="VALID",
+    )
+    if pool_type == "avg":
+        pooled_xy = pooled_xy / 4.0
+    # z-pair reduction as static lane slices (zi lives at lane offset zi*C)
+    c = x_packed.shape[-1] // zb
+    parts = []
+    for j in range(zb // 2):
+        a = pooled_xy[..., (2 * j) * c:(2 * j + 1) * c]
+        b = pooled_xy[..., (2 * j + 1) * c:(2 * j + 2) * c]
+        parts.append(jnp.maximum(a, b) if pool_type == "max" else (a + b) / 2.0)
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return out.astype(x_packed.dtype)
+
+
 def choose_z_block(channels: int, z_extent: int, max_lanes: int = 128) -> int:
     """Largest power-of-two z-block so packed channels reach ~max_lanes."""
     zb = 1
