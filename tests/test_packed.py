@@ -120,3 +120,22 @@ def test_packed_with_remat():
     np.testing.assert_allclose(
         np.asarray(m.apply(v, x)), np.asarray(mpr.apply(v, x)), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("pool_type", ["max", "avg"])
+def test_packed_pool2_matches_plain(pool_type):
+    from tpu_mednet.models.blocks import pool3d
+    from tpu_mednet.ops.packed import packed_pool2
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16, 4)).astype(np.float32))
+    ref = pool3d(x, (2, 2, 2), pool_type)
+    out = unpack_z(packed_pool2(pack_z(x, 4), 4, pool_type), 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_packed_pool2_rejects_odd_block():
+    from tpu_mednet.ops.packed import packed_pool2
+
+    with pytest.raises(ValueError):
+        packed_pool2(jnp.zeros((1, 4, 4, 4, 12)), 3)
