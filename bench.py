@@ -65,6 +65,17 @@ def main():
         ),
     }
 
+    # logical train-step FLOPs for MFU.  NOT XLA's cost model: that counts
+    # the packed convs' structural zeros (4x inflation at zb=4); the
+    # analytic model counts what the math requires (utils/flops.py).
+    from tpu_mednet.utils.flops import unet_train_step_flops
+
+    step_flops = unet_train_step_flops(
+        in_channels=1, out_channels=2,
+        feature_maps=model.config.feature_maps,
+        patch=(PATCH, PATCH, PATCH), batch=BATCH, block="residual",
+    )
+
     for _ in range(WARMUP):
         state, metrics = step(state, batch)
     _ = float(metrics["train_loss"])  # full sync
@@ -83,11 +94,18 @@ def main():
         # normalize: baseline measured at same patch size, per-"chip" (CPU host)
         vs_baseline = pps_per_chip / base["train_patches_per_sec"]
 
+    # model FLOP utilization vs the v5e chip's nominal bf16 peak
+    V5E_BF16_PEAK = 197e12
+    mfu = (
+        round(step_flops / dt / V5E_BF16_PEAK, 4) if step_flops else None
+    )
+
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_96cubed",
         "value": round(pps_per_chip, 3),
         "unit": "patches/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "mfu": mfu,
     }))
 
 

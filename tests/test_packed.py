@@ -55,6 +55,44 @@ def test_packed_conv_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.parametrize("zb_in", [1, 2, 4])
+def test_packed_conv_transpose_matches_flax(zb_in):
+    """Packed stride-2 transposed conv == unpack -> flax ConvTranspose -> pack."""
+    from flax import linen as nn
+
+    from tpu_mednet.ops.packed import packed_conv_transpose3d
+
+    rng = np.random.default_rng(4)
+    ci, co = 3, 5
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    ct = nn.ConvTranspose(features=co, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                          padding="SAME")
+    ref = ct.apply({"params": {"kernel": w, "bias": b}}, x)
+    out = packed_conv_transpose3d(pack_z(x, zb_in), w, zb_in, bias=b)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_z(out, 2 * zb_in)), np.asarray(ref)
+    )
+
+
+def test_packed_conv_transpose_module_param_parity():
+    """PackedConvTranspose param tree == nn.ConvTranspose param tree."""
+    from flax import linen as nn
+
+    from tpu_mednet.models.packed_layers import PackedConvTranspose
+
+    x = jnp.zeros((1, 4, 4, 4, 8))  # packed at zb_in=2 -> logical Ci=4
+    mp = PackedConvTranspose(features=6, z_block_in=2)
+    vp = mp.init(jax.random.PRNGKey(0), x)
+    m = nn.ConvTranspose(features=6, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                         padding="SAME")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8, 4)))
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vp)):
+        assert a.shape == b.shape
+
+
 def test_packed_group_norm_matches_plain():
     from flax import linen as nn
 

@@ -20,7 +20,7 @@ Design notes (TPU-first, not a translation):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -378,26 +378,39 @@ class DecoderStage(nn.Module):
 
         if self.packed_io and self.block != "residual":
             raise ValueError("packed_io decoder requires the residual join")
-        if self.packed_io:
-            x = unpack_z(x, max(self.z_block // 2, 1))
         if self.block == "double":
             x = resize_nearest(x, encoder_features.shape[1:4])
             x = jnp.concatenate([encoder_features, x], axis=-1)
         else:
             k = self.kernel_size
-            x = nn.ConvTranspose(
-                features=self.out_channels,
-                kernel_size=(k, k, k),
-                strides=self.scale_factor,
-                padding="SAME",
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="upsample",
-            )(x)
-            if self.packed_io:
-                x = pack_z(x, self.z_block) + encoder_features
+            if self.packed_io and self.z_block > 1:
+                # stay in packed layout through the upsample: input packed
+                # at z_block//2, output at z_block — no relayout copies
+                if self.scale_factor != (2, 2, 2):
+                    raise ValueError(
+                        "packed_io decoder supports scale_factor (2,2,2)"
+                    )
+                from tpu_mednet.models.packed_layers import PackedConvTranspose
+
+                x = PackedConvTranspose(
+                    features=self.out_channels,
+                    kernel_size=k,
+                    z_block_in=max(self.z_block // 2, 1),
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="upsample",
+                )(x)
             else:
-                x = x + encoder_features
+                x = nn.ConvTranspose(
+                    features=self.out_channels,
+                    kernel_size=(k, k, k),
+                    strides=self.scale_factor,
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="upsample",
+                )(x)
+            x = x + encoder_features
         if not self.packed_io:
             x = pack_z(x, self.z_block)
         x = BLOCKS[self.block](

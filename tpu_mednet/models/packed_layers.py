@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from tpu_mednet.ops.packed import (
     build_packed_weights,
+    packed_conv_transpose3d,
     packed_group_norm,
 )
 
@@ -64,6 +65,49 @@ class PackedConv(nn.Module):
             )
             out = out + jnp.tile(bias.astype(self.dtype), zb)
         return out
+
+
+class PackedConvTranspose(nn.Module):
+    """Stride-2 SAME transposed conv on a z-packed tensor.
+
+    Input packed at ``z_block_in``, output packed at ``2*z_block_in`` — the
+    packed z extent is unchanged, so the decoder upsample stays in packed
+    layout with zero relayout copies.  Params are in logical shape under the
+    same names as ``nn.ConvTranspose`` (``kernel``/``bias``), so checkpoints
+    are interchangeable with the unpacked decoder.
+    """
+
+    features: int
+    kernel_size: int = 3
+    z_block_in: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_packed: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        if k != 3:
+            raise ValueError("PackedConvTranspose supports kernel size 3")
+        in_ch = x_packed.shape[-1] // self.z_block_in
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, k, in_ch, self.features),
+            self.param_dtype,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            ).astype(self.dtype)
+        return packed_conv_transpose3d(
+            x_packed.astype(self.dtype),
+            kernel.astype(self.dtype),
+            self.z_block_in,
+            bias=bias,
+        )
 
 
 class PackedGroupNorm(nn.Module):

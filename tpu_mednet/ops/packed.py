@@ -84,6 +84,55 @@ def packed_conv3d(x_packed: Array, w_logical: Array, zb: int,
     return out
 
 
+def build_packed_transpose_weights(w: Array, zb_in: int) -> Array:
+    """(kx,ky,3, Ci, Co) logical -> (kx,ky,2, zb_in*Ci, 2*zb_in*Co).
+
+    Structured weight for a stride-2 transposed conv consumed in packed
+    layout: the z-upsample is folded into the channel mapping.  With flax's
+    ``ConvTranspose(k=3, strides=2, 'SAME')`` convention (correlation on the
+    2x-dilated input, padding (2,1)), logical tap ``t`` contributes to packed
+    entry (dk, zi, zo) when ``t = 2*((dk-1)*zb_in + zi) - zo + 2`` lands in
+    {0,1,2}; ``dk`` in {0,1} is the packed-z kernel index (offsets -1, 0).
+    """
+    kx, ky, kz, ci, co = w.shape
+    if kz != 3:
+        raise ValueError("packed transpose weights support kernel size 3 on z")
+    zb_out = 2 * zb_in
+    wp = jnp.zeros((kx, ky, 2, zb_in * ci, zb_out * co), dtype=w.dtype)
+    for dk in range(2):
+        for zi in range(zb_in):
+            for zo in range(zb_out):
+                t = 2 * ((dk - 1) * zb_in + zi) - zo + 2
+                if 0 <= t <= 2:
+                    wp = wp.at[
+                        :, :, dk, zi * ci:(zi + 1) * ci, zo * co:(zo + 1) * co
+                    ].set(w[:, :, t])
+    return wp
+
+
+def packed_conv_transpose3d(x_packed: Array, w_logical: Array, zb_in: int,
+                            bias: Array = None) -> Array:
+    """Stride-2 'SAME' transposed conv (kernel 3) on a z-packed tensor.
+
+    Input is packed at ``zb_in`` over z; output is packed at ``2*zb_in``
+    over ``2*z`` — the packed z extent is UNCHANGED, so the upsample needs
+    no relayout: x/y upsample via ``lhs_dilation``, z upsample via the
+    structured weight.  Bit-exact (fp32) to
+    unpack -> flax ConvTranspose(k=3, strides=2, 'SAME') -> pack.
+    """
+    wp = build_packed_transpose_weights(w_logical, zb_in)
+    out = jax.lax.conv_general_dilated(
+        x_packed, wp,
+        window_strides=(1, 1, 1),
+        padding=((2, 1), (2, 1), (1, 0)),
+        lhs_dilation=(2, 2, 1),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias, 2 * zb_in)
+    return out
+
+
 def packed_group_norm_stats(x_packed: Array, zb: int, num_groups: int
                             ) -> Tuple[Array, Array]:
     """(mean, var) per (batch, logical group) over a packed tensor.
