@@ -193,3 +193,63 @@ def test_predict_cli_device_stitch_matches_crop(workspace):
             h5py.File(workspace / "pred_dev.h5") as b:
         np.testing.assert_array_equal(a["prediction/subj0"][:],
                                       b["prediction/subj0"][:])
+
+
+def test_predict_cli_gaussian_stitch(workspace):
+    """stitch=gaussian runs the on-device weighted path end-to-end and
+    matches the host-accumulation oracle."""
+    from tpu_mednet.inference.weighted import predict_volumes_weighted
+    from tpu_mednet.data.readers import HDF5Reader
+
+    train_seg_main(seg_args(workspace))
+    (workspace / "test.txt").write_text("subj0\n")
+    cfg = {
+        "base": {"data": str(workspace / "data.h5"), "image_group": "images",
+                 "sigma": None},
+        "prediction": {
+            "test_set": str(workspace / "test.txt"),
+            "patch_size": [16, 16, 16],
+            "patch_overlap": [4, 4, 4],
+            "channel_selection": None,
+            "batch_size": 4,
+            "data": str(workspace / "pred_gauss.h5"),
+            "group": "prediction",
+            "checkpoint": str(workspace / "model"),
+            "chunk_size": 2,
+            "model": "SegmentationNet",
+            "stitch": "gaussian",
+        },
+    }
+    cfg_path = workspace / "predict_gauss.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert predict_main(["-c", str(cfg_path)]) == 0
+
+    # host-accumulation oracle on the same checkpoint
+    import types
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import create_train_state, load_for_inference
+    from tpu_mednet.train.checkpoint import CheckpointManager
+    import orbax.checkpoint as ocp
+
+    mgr = CheckpointManager(str(workspace / "model"))
+    hp = mgr._mgr.restore(
+        mgr.latest_step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
+    )["hparams"]
+    mgr.close()
+    from tpu_mednet.cli.predict import _coerce
+    task = SegmentationTask.from_hparams(
+        types.SimpleNamespace(**{k: _coerce(v) for k, v in hp.items()})
+    )
+    template = create_train_state(
+        task.model, (1, 16, 16, 16, task.model.config.in_channels), 1e-3
+    )
+    variables, _ = load_for_inference(str(workspace / "model"), template)
+    ref = predict_volumes_weighted(
+        task, variables, str(workspace / "data.h5"), ["subj0"],
+        patch_size=[16, 16, 16], patch_overlap=[4, 4, 4], batch_size=4,
+        reader_cls=HDF5Reader, pad_mode="constant",
+    )
+    with h5py.File(workspace / "pred_gauss.h5") as f:
+        np.testing.assert_array_equal(
+            f["prediction/subj0"][:], np.asarray(ref["subj0"])
+        )

@@ -178,3 +178,32 @@ def test_on_device_inference_matches_host_stitched():
     for k in ["s0", "s1"]:
         np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(dev[k]))
         assert np.asarray(dev[k].attrs["affine"]).shape == (4, 4)
+
+
+def test_on_device_weighted_matches_host_weighted():
+    """stitch=gaussian on device == the host accumulation, incl. odd shapes
+    and a tail batch whose padding corners must NOT double-accumulate."""
+    from tpu_mednet.inference.weighted import (
+        predict_volumes_weighted_on_device,
+    )
+
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        num_groups=2, dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="DICE")
+    state = create_train_state(model, (2, 8, 8, 8, 1), 1e-3)
+    variables = {"params": state.params}
+    kw = dict(patch_size=[8, 8, 8], patch_overlap=[2, 2, 2], batch_size=4)
+    shapes = ((24, 24, 24), (17, 19, 23))
+    ref = predict_volumes_weighted(
+        task, variables, None, ["s0", "s1"],
+        reader=make_reader(shapes=shapes), pad_mode="constant", **kw,
+    )
+    dev = predict_volumes_weighted_on_device(
+        task, variables, None, ["s0", "s1"],
+        reader=make_reader(shapes=shapes), **kw,
+    )
+    for k in ["s0", "s1"]:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(dev[k]))
+        assert np.asarray(dev[k].attrs["affine"]).shape == (4, 4)

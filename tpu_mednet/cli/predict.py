@@ -58,7 +58,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
 
     from tpu_mednet.inference.sliding_window import predict_volumes
-    from tpu_mednet.inference.weighted import predict_volumes_weighted
+    from tpu_mednet.inference.weighted import predict_volumes_weighted_on_device
     from tpu_mednet.inference.device_sliding import predict_volumes_on_device
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
@@ -126,7 +126,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 pad_mode="constant",
             )
         elif stitch == "gaussian":
-            results = predict_volumes_weighted(
+            # on-device accumulate (equivalence-tested vs the host
+            # accumulation oracle in tests/test_device_sampler.py)
+            results = predict_volumes_weighted_on_device(
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
@@ -151,7 +153,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
 def _coerce(v):
     """JSON round-trip turns tuples into lists and numbers into str at
-    times; best-effort numeric coercion for hparams fields."""
+    times; best-effort numeric coercion for hparams fields (recursing into
+    lists so stringified list elements round-trip too)."""
+    if isinstance(v, list):
+        return [_coerce(x) for x in v]
     if isinstance(v, str):
         for cast in (int, float):
             try:

@@ -3,12 +3,14 @@ from tpu_mednet.inference.sliding_window import pad_batch, predict_volumes
 from tpu_mednet.inference.weighted import (
     gaussian_window,
     predict_volumes_weighted,
+    predict_volumes_weighted_on_device,
 )
 
 __all__ = [
     "predict_volumes",
     "predict_volumes_on_device",
     "predict_volumes_weighted",
+    "predict_volumes_weighted_on_device",
     "gaussian_window",
     "pad_batch",
 ]

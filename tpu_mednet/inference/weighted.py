@@ -8,9 +8,14 @@ weighted by a separable Gaussian centered on the patch — predictions near
 patch borders (where the receptive field is clipped) are down-weighted, and
 overlaps average smoothly instead of seaming.
 
-The weighting of each patch happens ON DEVICE inside the jit'd predict step
-(one fused multiply); the float accumulation runs on host into the
-assembled volumes.
+Two pipelines:
+
+- ``predict_volumes_weighted``: host accumulation (reference-shaped loop);
+  bound by the host link, kept as the equivalence oracle.
+- ``predict_volumes_weighted_on_device``: the whole tile -> forward ->
+  weighted-accumulate -> divide -> argmax pipeline in ONE jit per volume
+  (the `device_sliding.py` pattern) — accumulates ``w*act`` and ``w`` in two
+  HBM buffers, one host round-trip per volume.
 """
 
 from __future__ import annotations
@@ -40,6 +45,177 @@ def gaussian_window(patch_size: Sequence[int], sigma_scale: float = 0.125,
         axes.append(np.exp(-(x**2) / (2 * sigma**2)))
     w = axes[0][:, None, None] * axes[1][None, :, None] * axes[2][None, None, :]
     return np.maximum(w, floor).astype(np.float32)
+
+
+def _weighted_activations(task, variables, patches):
+    """Model forward + the reference postprocess split, WITHOUT weighting."""
+    model = task.model
+    num_heatmaps = getattr(task, "num_heatmaps", 0)
+    logits = model.apply(variables, patches.astype(model.config.dtype),
+                         train=False)
+    if num_heatmaps:
+        hm = logits[..., :num_heatmaps]
+        probs = jax.nn.softmax(logits[..., num_heatmaps:], axis=-1)
+        return jnp.concatenate([hm, probs], axis=-1)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def make_weighted_device_predictor(task, patch_size: Sequence[int],
+                                   sigma_scale: float = 0.125,
+                                   pad_mode: str = "constant"):
+    """jit'd (variables, volume, corners, mask, pads) -> stitched volume.
+
+    ``corners`` is (n_batches, B, 3) int32 in the padded domain; ``mask``
+    is (n_batches, B) fp32 validity (0 for tail-padding corners — weighted
+    accumulation is NOT idempotent, unlike the crop-stitch writes).
+    Accumulates ``w*act`` (fp32, n_act channels) and ``w`` (fp32) in HBM,
+    then divides, argmaxes the class channels, clips heatmaps to 0..255 and
+    crops — one uint8 download per volume.
+    """
+    from functools import partial
+
+    num_heatmaps = getattr(task, "num_heatmaps", 0)
+    px, py, pz = (int(v) for v in patch_size)
+    window = gaussian_window((px, py, pz), sigma_scale)
+
+    @partial(jax.jit, static_argnames=("pads",))
+    def run(variables, volume, corners, mask, pads):
+        img_shape = volume.shape[:3]
+        volume = jnp.pad(volume, tuple(pads) + ((0, 0),), mode=pad_mode)
+        c_in = volume.shape[-1]
+        w = jnp.asarray(window)          # (px, py, pz) fp32
+        n_act = task.model.config.out_channels
+
+        def gather(corner):
+            return jax.lax.dynamic_slice(
+                volume, (corner[0], corner[1], corner[2], 0),
+                (px, py, pz, c_in),
+            )
+
+        def step(carry, batch):
+            acc, wacc = carry
+            corner_batch, m = batch
+            patches = jax.vmap(gather)(corner_batch)
+            act = _weighted_activations(task, variables, patches)
+            wact = act * w[None, ..., None]
+
+            def write(i, carry):
+                acc, wacc = carry
+                corner = corner_batch[i]
+                idx = (corner[0], corner[1], corner[2], 0)
+                cur = jax.lax.dynamic_slice(
+                    acc, idx, (px, py, pz, acc.shape[-1])
+                )
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + m[i] * wact[i], idx
+                )
+                idx3 = (corner[0], corner[1], corner[2])
+                curw = jax.lax.dynamic_slice(wacc, idx3, (px, py, pz))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, curw + m[i] * w, idx3
+                )
+                return acc, wacc
+
+            carry = jax.lax.fori_loop(
+                0, corner_batch.shape[0], write, (acc, wacc)
+            )
+            return carry, None
+
+        padded = volume.shape[:3]
+        acc0 = jnp.zeros((*padded, n_act), jnp.float32)
+        wacc0 = jnp.zeros(padded, jnp.float32)
+        (acc, wacc), _ = jax.lax.scan(step, (acc0, wacc0), (corners, mask))
+
+        avg = acc / jnp.maximum(wacc[..., None], 1e-8)
+        if num_heatmaps:
+            hm = jnp.clip(avg[..., :num_heatmaps], 0.0, 255.0)
+            cls = jnp.argmax(avg[..., num_heatmaps:], axis=-1)
+            out = jnp.concatenate(
+                [hm, cls[..., None].astype(jnp.float32)], axis=-1
+            ).astype(jnp.uint8)
+        else:
+            out = jnp.argmax(avg, axis=-1)[..., None].astype(jnp.uint8)
+        # crop to the input extent on device (pads[k][0] == overlap)
+        return out[
+            pads[0][0]:pads[0][0] + img_shape[0],
+            pads[1][0]:pads[1][0] + img_shape[1],
+            pads[2][0]:pads[2][0] + img_shape[2],
+        ]
+
+    return run
+
+
+_WEIGHTED_PREDICTOR_CACHE: Dict = {}
+
+
+def predict_volumes_weighted_on_device(
+    task,
+    variables,
+    data_path,
+    subject_keys: Sequence[str],
+    patch_size: Sequence[int],
+    patch_overlap: Sequence[int],
+    batch_size: int = 8,
+    image_group: str = "images",
+    reader_cls=HDF5Reader,
+    reader=None,
+    pad_mode: str = "constant",
+    sigma_scale: float = 0.125,
+    out_dtype=np.uint8,
+) -> VolumeGroup:
+    """On-device drop-in for ``predict_volumes_weighted``.
+
+    Same tiling geometry and weighting math; the accumulate loop runs in
+    the same jit as the forward (HBM buffers), one round-trip per volume.
+    """
+    from tpu_mednet.data.readers import DataReader  # noqa: F401
+    from tpu_mednet.inference.device_sliding import _grid_corners
+
+    num_heatmaps = getattr(task, "num_heatmaps", 0)
+    out_c = num_heatmaps + 1
+    owns = reader is None
+    r = reader if reader is not None else reader_cls(data_path)
+    affines = r.get_data_attribute(subject_keys, image_group, "affine")
+    volumes = list(r.read(subject_keys, image_group, dtype=np.float16))
+    if owns:
+        r.close()
+
+    key = (id(task), tuple(patch_size), sigma_scale, pad_mode)
+    if key not in _WEIGHTED_PREDICTOR_CACHE:
+        _WEIGHTED_PREDICTOR_CACHE[key] = make_weighted_device_predictor(
+            task, patch_size, sigma_scale=sigma_scale, pad_mode=pad_mode
+        )
+    predictor = _WEIGHTED_PREDICTOR_CACHE[key]
+
+    ov = np.asarray(patch_overlap, dtype=np.int64)
+    results = VolumeGroup()
+    for key_, vol in zip(subject_keys, volumes):
+        img_size = np.asarray(vol.shape[1:], dtype=np.int64)
+        corners, padded = _grid_corners(img_size, patch_size, patch_overlap)
+        n_p = corners.shape[0]
+        n_batches = -(-n_p // batch_size)
+        pad_n = n_batches * batch_size - n_p
+        mask = np.ones((n_p,), np.float32)
+        if pad_n:
+            corners = np.concatenate(
+                [corners, np.repeat(corners[-1:], pad_n, 0)]
+            )
+            mask = np.concatenate([mask, np.zeros((pad_n,), np.float32)])
+        corners = corners.reshape(n_batches, batch_size, 3)
+        mask = mask.reshape(n_batches, batch_size)
+        pads = tuple(
+            (int(o), int(p - s - o)) for o, p, s in zip(ov, padded, img_size)
+        )
+        vol_cl = np.moveaxis(np.asarray(vol), 0, -1)
+        vol_dev = jnp.asarray(vol_cl, dtype=task.model.config.dtype)
+        core = np.asarray(jax.device_get(predictor(
+            variables, vol_dev, jnp.asarray(corners), jnp.asarray(mask), pads
+        )))
+        vol_cf = np.moveaxis(core, -1, 0).astype(out_dtype)
+        ds = results.require_dataset(key_, (out_c, *img_size), out_dtype)
+        ds[:] = vol_cf
+        ds.attrs["affine"] = np.asarray(affines[key_]).tolist()
+    return results
 
 
 def predict_volumes_weighted(

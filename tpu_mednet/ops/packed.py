@@ -138,13 +138,23 @@ def packed_group_norm_stats(x_packed: Array, zb: int, num_groups: int
     """(mean, var) per (batch, logical group) over a packed tensor.
 
     Statistics aggregate over all spatial positions including the packed
-    z-slices — identical to GroupNorm on the unpacked tensor.
+    z-slices — identical to GroupNorm on the unpacked tensor.  The per-lane
+    moments come from a single-pass Pallas kernel on TPU
+    (`ops/pallas/groupnorm.py`); the lane -> group fold is a tiny XLA op.
     """
+    from tpu_mednet.ops.pallas.groupnorm import lane_moments
+
     n = x_packed.shape[0]
-    c = x_packed.shape[-1] // zb
-    xr = x_packed.astype(jnp.float32).reshape(n, -1, zb, num_groups, c // num_groups)
-    mean = jnp.mean(xr, axis=(1, 2, 4))
-    var = jnp.mean(xr**2, axis=(1, 2, 4)) - mean**2
+    zc = x_packed.shape[-1]
+    c = zc // zb
+    cg = c // num_groups
+    s, q = lane_moments(x_packed)  # (n, zc) fp32 each
+    spatial = x_packed.size // (n * zc)
+    count = spatial * zb * cg
+    sg = s.reshape(n, zb, num_groups, cg).sum(axis=(1, 3))
+    qg = q.reshape(n, zb, num_groups, cg).sum(axis=(1, 3))
+    mean = sg / count
+    var = qg / count - mean**2
     return mean, var
 
 

@@ -15,7 +15,9 @@ Two implementations with identical semantics:
   the index-driven DMA pattern from the Pallas guide), double-buffered by
   the Pallas pipeline over the grid.
 
-``extract_patches`` picks Pallas on TPU and the XLA path elsewhere.
+``extract_patches`` currently always dispatches the XLA path (see its
+docstring for the Mosaic lane-alignment constraint that keeps the Pallas
+variant off by default).
 """
 
 from __future__ import annotations
