@@ -205,3 +205,60 @@ def test_volume_group_hdf5_roundtrip(tmp_path):
     with h5py.File(path, "r") as hf:
         assert np.all(hf["prediction/a"][:] == 3)
         assert np.asarray(hf["prediction/a"].attrs["affine"]).shape == (4, 4)
+
+
+def test_open_reader_suffix_routing(tmp_path):
+    """open_reader infers the backend from the path suffix, so CLIs reach
+    zarr stores without a reader_cls flag (reference dataset.py:179-207)."""
+    from tpu_mednet.data import open_reader, ZarrReader
+
+    h5py = pytest.importorskip("h5py")
+    path = tmp_path / "d.h5"
+    with h5py.File(path, "w") as hf:
+        hf.create_dataset("images/s0", data=np.ones((1, 4, 4, 4), np.float32))
+    r = open_reader(path)
+    assert isinstance(r, HDF5Reader)
+    (vol,) = list(r.read(["s0"], "images", dtype=np.float32))
+    assert vol.shape == (1, 4, 4, 4)
+    r.close()
+
+    with pytest.raises(ValueError):
+        open_reader(tmp_path / "d.unknown")
+
+    # explicit class always wins over suffix inference
+    assert isinstance(open_reader(path, reader_cls=HDF5Reader), HDF5Reader)
+
+
+def _make_zarr_store(tmp_path):
+    zarr = pytest.importorskip("zarr")
+    root = zarr.open(str(tmp_path / "d.zarr"), mode="w")
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.normal(size=(1, 24, 24, 24)).astype(np.float32)
+        lbl = np.zeros((1, 24, 24, 24), dtype=np.uint8)
+        lbl[0, 4:12, 4:12, 4:12] = 1
+        a = root.create_dataset(f"images/s{i}", data=img) \
+            if hasattr(root, "create_dataset") else root.create_array(f"images/s{i}", data=img)
+        a.attrs["affine"] = np.eye(4).tolist()
+        root[f"labels/s{i}"] = lbl
+    return tmp_path / "d.zarr"
+
+
+def test_zarr_reader_end_to_end(tmp_path):
+    """ZarrReader through open_reader feeds the patch sampler — the
+    working equivalent of the reference's broken DataReaderZarr path
+    (dataset.py:179-207). Activates when zarr is installed."""
+    from tpu_mednet.data import ZarrReader, open_reader
+
+    path = _make_zarr_store(tmp_path)
+    r = open_reader(path)
+    assert isinstance(r, ZarrReader)
+    shapes = r.get_data_shape(["s0", "s1"], "images")
+    assert shapes["s0"] == (1, 24, 24, 24)
+    affine = r.get_data_attribute(["s0"], "images", "affine")["s0"]
+    assert np.asarray(affine).shape == (4, 4)
+
+    sampler = PatchSampler(path, ["s0", "s1"], samples_per_subject=2,
+                           patch_size=[8, 8, 8], seed=0)
+    batch = next(sampler.batches(2))
+    assert batch["data"].shape == (2, 8, 8, 8, 1)

@@ -207,3 +207,38 @@ def test_on_device_weighted_matches_host_weighted():
     for k in ["s0", "s1"]:
         np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(dev[k]))
         assert np.asarray(dev[k].attrs["affine"]).shape == (4, 4)
+
+
+def test_device_sampler_epoch_semantics():
+    """One epoch draws each subject exactly samples_per_subject times
+    (reference dataset.py:282-283), honoring shuffle and drop_last."""
+    ds = DevicePatchSampler(
+        None, ["s0", "s1"], samples_per_subject=4, patch_size=[8, 8, 8],
+        reader=make_reader(), image_dtype=jnp.float32, seed=0,
+    )
+    # instrument: record the subject indices actually gathered
+    seen = []
+    orig = ds.sample_indices
+
+    def spy(batch_size, subj=None):
+        seen.extend(np.asarray(subj).tolist())
+        return orig(batch_size, subj=subj)
+
+    ds.sample_indices = spy
+    batches = list(ds.batches(4, shuffle=True, drop_last=True))
+    assert len(batches) == 2
+    counts = np.bincount(np.asarray(seen), minlength=2)
+    assert counts.tolist() == [4, 4]
+
+    # shuffle=False keeps subject-major order
+    seen.clear()
+    list(ds.batches(4, shuffle=False))
+    assert seen == [0, 0, 0, 0, 1, 1, 1, 1]
+
+    # drop_last=False yields the trailing partial batch
+    n_items = [b["data"].shape[0] for b in ds.batches(3, drop_last=False)]
+    assert sum(n_items) == 8 and n_items[-1] == 2
+
+    # drop_last=True drops it
+    n_items = [b["data"].shape[0] for b in ds.batches(3, drop_last=True)]
+    assert sum(n_items) == 6

@@ -182,3 +182,20 @@ def test_landmark_coordinate_error():
     true_hm2 = batched_gaussian_heatmaps(true_c2, (16, 16, 16), 1.5)
     err2 = float(landmark_coordinate_error(pred_hm, true_hm2))
     assert abs(err2 - 3.0) < 1e-5
+
+
+def test_resume_epoch_accounting(tmp_path):
+    """A resumed run trains to the ORIGINAL max_epochs total, not
+    max_epochs additional epochs (PL resume_from_checkpoint semantics,
+    reference train_seg.py:123-125)."""
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2))
+    model_dir = str(tmp_path / "model")
+    t1 = Trainer(task, sampler, batch_size=2, max_epochs=1, model_dir=model_dir)
+    t1.fit()  # 1 epoch x 2 steps
+    t2 = Trainer(task, sampler, batch_size=2, max_epochs=3, model_dir=model_dir)
+    state = t2.fit(resume=model_dir)
+    assert t2.start_epoch == 1
+    assert int(state.step) == 3 * 2  # total, not 1 + 3 epochs

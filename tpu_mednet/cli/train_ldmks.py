@@ -39,7 +39,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logging.getLogger("absl").setLevel(logging.WARNING)
     logger = logging.getLogger("train_ldmks")
 
-    from tpu_mednet.data import HDF5Reader, PatchSampler
+    from tpu_mednet.data import PatchSampler
     from tpu_mednet.data.device_sampler import DevicePatchSampler
     from tpu_mednet.parallel.mesh import shard_subject_keys
     from tpu_mednet.ops.augment import AugmentConfig
@@ -70,18 +70,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if hparams.landmark_group and not hparams.device_sampler:
         raise SystemExit("--landmark_group (on-device heatmap synthesis) "
                          "requires --device_sampler")
-    extra = {}
     if hparams.landmark_group:
         extra = {"landmark_group": hparams.landmark_group,
                  "heatmap_sigma": hparams.heatmap_sigma, "heatmap_group": None}
+    else:
+        extra = {"heatmap_group": hparams.heatmap_group}
+
+    n_devices = min(hparams.gpus, len(jax.devices())) or 1
+    mesh = make_mesh(n_data=n_devices)
+    if hparams.device_sampler and n_devices > 1:
+        # replicate the HBM volume store over the mesh (don't pin device 0)
+        from tpu_mednet.parallel.mesh import replicated
+        extra["sharding"] = replicated(mesh)
 
     train_ds = SamplerClass(
         hparams.data_path, train_keys, hparams.patches_per_subject,
         hparams.patch_size, image_group=hparams.image_group,
         label_group=hparams.label_group,
         class_probabilities=hparams.class_probabilities,
-        reader_cls=HDF5Reader, seed=hparams.seed,
-        **(extra or {"heatmap_group": hparams.heatmap_group}),
+        seed=hparams.seed, **extra,
     )
     val_ds = None
     if val_keys:
@@ -89,14 +96,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             hparams.data_path, val_keys, hparams.patches_per_subject,
             hparams.patch_size, image_group=hparams.image_group,
             label_group=hparams.label_group,
-            class_probabilities=None, reader_cls=HDF5Reader,
-            seed=hparams.seed + 1,
-            **(extra or {"heatmap_group": hparams.heatmap_group}),
+            class_probabilities=None,
+            seed=hparams.seed + 1, **extra,
         )
 
     task = LandmarkTask.from_hparams(hparams)
-    n_devices = min(hparams.gpus, len(jax.devices())) or 1
-    mesh = make_mesh(n_data=n_devices)
     trainer = Trainer(
         task, train_ds, val_sampler=val_ds,
         batch_size=hparams.batch_size,

@@ -39,7 +39,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = logging.getLogger("train_seg")
 
     # heavyweight imports after arg parsing so --help stays fast
-    from tpu_mednet.data import HDF5Reader, PatchSampler
+    from tpu_mednet.data import PatchSampler
     from tpu_mednet.data.device_sampler import DevicePatchSampler
     from tpu_mednet.parallel.mesh import shard_subject_keys
     from tpu_mednet.ops.augment import AugmentConfig
@@ -64,7 +64,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger.info("train keys: %d, val keys: %d", len(train_keys), len(val_keys))
     SamplerClass = DevicePatchSampler if hparams.device_sampler else PatchSampler
 
-    transform = None  # host-side transform hook kept for parity; default off
+    n_devices = min(hparams.gpus, len(jax.devices())) or 1
+    mesh = make_mesh(n_data=n_devices)
+    # on a multi-device mesh, replicate the HBM volume store so gathered
+    # batches don't pin everything to device 0 and reshard every step
+    sampler_extra = {}
+    if hparams.device_sampler:
+        if n_devices > 1:
+            from tpu_mednet.parallel.mesh import replicated
+            sampler_extra["sharding"] = replicated(mesh)
+    else:
+        sampler_extra["transform"] = None  # host transform hook; default off
+
     augment = None
     if hparams.data_augmentation:
         # reference Compose (train_seg.py:84-86), applied on device instead
@@ -75,8 +86,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         hparams.patch_size, image_group=hparams.image_group,
         label_group=hparams.label_group, heatmap_group=None,
         class_probabilities=hparams.class_probabilities,
-        reader_cls=HDF5Reader, seed=hparams.seed,
-        **({"transform": transform} if not hparams.device_sampler else {}),
+        seed=hparams.seed, **sampler_extra,
     )
     val_ds = None
     if val_keys:
@@ -84,13 +94,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             hparams.data_path, val_keys, hparams.patches_per_subject,
             hparams.patch_size, image_group=hparams.image_group,
             label_group=hparams.label_group, heatmap_group=None,
-            class_probabilities=None, reader_cls=HDF5Reader,
+            class_probabilities=None,
             seed=hparams.seed + 1,
+            **{k: v for k, v in sampler_extra.items() if k != "transform"},
         )
 
     task = SegmentationTask.from_hparams(hparams)
-    n_devices = min(hparams.gpus, len(jax.devices())) or 1
-    mesh = make_mesh(n_data=n_devices)
     trainer = Trainer(
         task, train_ds, val_sampler=val_ds,
         batch_size=hparams.batch_size,

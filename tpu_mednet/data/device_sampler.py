@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.readers import DataReader, open_reader
 from tpu_mednet.data.sampling import get_labeled_position, get_random_patch_indices
 
 logger = logging.getLogger(__name__)
@@ -55,7 +55,7 @@ class DevicePatchSampler:
         heatmap_group: Optional[str] = None,
         landmark_group: Optional[str] = None,
         heatmap_sigma: float = 4.0,
-        reader_cls=HDF5Reader,
+        reader_cls=None,
         reader: Optional[DataReader] = None,
         class_probabilities: Optional[Sequence[float]] = None,
         seed: int = 0,
@@ -81,7 +81,7 @@ class DevicePatchSampler:
             self.class_probabilities = p / p.sum()
 
         owns = reader is None
-        r = reader if reader is not None else reader_cls(data_path)
+        r = reader if reader is not None else open_reader(data_path, reader_cls)
         images = list(r.read(self.subject_keys, image_group, dtype=np.float32))
         labels = list(r.read(self.subject_keys, label_group, dtype=np.uint8))
         heatmaps = None
@@ -176,9 +176,14 @@ class DevicePatchSampler:
     def __len__(self) -> int:
         return len(self.subject_keys) * self.samples_per_subject
 
-    def sample_indices(self, batch_size: int):
-        """Host-side index sampling: (subject_idx, corner) per element."""
-        subj = self.rng.integers(0, len(self.subject_keys), size=batch_size)
+    def sample_indices(self, batch_size: int,
+                       subj: Optional[np.ndarray] = None):
+        """Host-side index sampling: (subject_idx, corner) per element.
+
+        ``subj`` fixes the subject draw (epoch-permutation path); corners
+        stay freshly random per call either way."""
+        if subj is None:
+            subj = self.rng.integers(0, len(self.subject_keys), size=batch_size)
         corners = np.zeros((batch_size, 3), dtype=np.int32)
         for i, s in enumerate(subj):
             pos = None
@@ -200,8 +205,24 @@ class DevicePatchSampler:
     def batches(self, batch_size: int, shuffle: bool = True,
                 drop_last: bool = True, channels_last: bool = True
                 ) -> Iterator[Dict[str, jax.Array]]:
-        del shuffle, drop_last, channels_last  # always-shuffled device batches
-        n_batches = max(len(self) // batch_size, 1)
-        for _ in range(n_batches):
-            subj, corners = self.sample_indices(batch_size)
-            yield self._gather(self.images, self.labels, self.landmarks_dev, subj, corners)
+        """One epoch = a permutation of (subject, sample) pairs, exactly
+        ``samples_per_subject`` draws per subject (reference epoch semantics,
+        dataset.py:282-283).  ``shuffle=False`` keeps subject order;
+        ``drop_last`` drops a trailing partial batch (a partial batch would
+        also trigger a fresh XLA compile for the odd shape)."""
+        del channels_last  # device batches are always channels-last
+        items = np.repeat(
+            np.arange(len(self.subject_keys), dtype=np.int64),
+            self.samples_per_subject,
+        )
+        if shuffle:
+            items = self.rng.permutation(items)
+        n = len(items)
+        stop = (n // batch_size) * batch_size if drop_last else n
+        if stop == 0 and n > 0:  # fewer items than one batch: keep one
+            stop = n
+        for start in range(0, stop, batch_size):
+            subj = items[start:start + batch_size]
+            subj_arr, corners = self.sample_indices(len(subj), subj=subj)
+            yield self._gather(self.images, self.labels, self.landmarks_dev,
+                               subj_arr, corners)

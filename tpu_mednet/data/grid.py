@@ -27,7 +27,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.readers import DataReader, open_reader
 from tpu_mednet.data.stores import VolumeGroup
 
 logger = logging.getLogger(__name__)
@@ -103,7 +103,7 @@ class GridPatchSampler:
         out_dtype=np.uint8,
         channel_selection: Optional[Sequence[int]] = None,
         image_group: str = "images",
-        reader_cls=HDF5Reader,
+        reader_cls=None,
         reader: Optional[DataReader] = None,
         pad_args: Optional[dict] = None,
     ):
@@ -118,7 +118,7 @@ class GridPatchSampler:
         self.results = VolumeGroup()
 
         owns_reader = reader is None
-        r = reader if reader is not None else reader_cls(data_path)
+        r = reader if reader is not None else open_reader(data_path, reader_cls)
         self.data_shape = r.get_data_shape(self.subject_keys, image_group)
         self.data_affine = r.get_data_attribute(self.subject_keys, image_group, "affine")
         self.data_generator = r.read_data_to_memory(

@@ -21,7 +21,7 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.readers import DataReader, open_reader
 from tpu_mednet.data.sampling import (
     get_labeled_position,
     get_random_patch_indices,
@@ -48,7 +48,7 @@ class PatchSampler:
         image_group: str = "images",
         label_group: str = "labels",
         heatmap_group: Optional[str] = None,
-        reader_cls=HDF5Reader,
+        reader_cls=None,
         reader: Optional[DataReader] = None,
         class_probabilities: Optional[Sequence[float]] = None,
         preload: bool = True,
@@ -69,7 +69,7 @@ class PatchSampler:
             self.class_probabilities = p / p.sum()
 
         owns_reader = reader is None
-        r = reader if reader is not None else reader_cls(data_path)
+        r = reader if reader is not None else open_reader(data_path, reader_cls)
         self.images = r.read_data_to_memory(self.subject_keys, image_group,
                                             dtype=np.float16, preload=preload)
         self.labels = r.read_data_to_memory(self.subject_keys, label_group,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_mednet.data.readers import DataReader, HDF5Reader
+from tpu_mednet.data.readers import DataReader, open_reader
 from tpu_mednet.data.stores import VolumeGroup
 
 
@@ -129,7 +129,7 @@ def predict_volumes_on_device(
     patch_overlap: Sequence[int],
     batch_size: int = 8,
     image_group: str = "images",
-    reader_cls=HDF5Reader,
+    reader_cls=None,
     reader: Optional[DataReader] = None,
     pad_mode: str = "constant",
     out_dtype=np.uint8,
@@ -140,7 +140,7 @@ def predict_volumes_on_device(
     arrays are data, not shape, as long as the tile count matches).
     """
     owns = reader is None
-    r = reader if reader is not None else reader_cls(data_path)
+    r = reader if reader is not None else open_reader(data_path, reader_cls)
     shapes = r.get_data_shape(subject_keys, image_group)
     affines = r.get_data_attribute(subject_keys, image_group, "affine")
     # f16 preload matches the reference/host pipeline (dataset.py:441)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_mednet.data.grid import GridPatchSampler
-from tpu_mednet.data.readers import HDF5Reader
+from tpu_mednet.data.readers import open_reader
 from tpu_mednet.data.stores import VolumeGroup
 from tpu_mednet.train.step import make_predict_step
 
@@ -45,7 +45,7 @@ def predict_volumes(
     out_channels: Optional[int] = None,
     channel_selection: Optional[Sequence[int]] = None,
     image_group: str = "images",
-    reader_cls=HDF5Reader,
+    reader_cls=None,
     reader=None,
     pad_mode: str = "constant",
     out_dtype=np.uint8,

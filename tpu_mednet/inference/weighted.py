@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_mednet.data.grid import GridPatchSampler
-from tpu_mednet.data.readers import HDF5Reader
+from tpu_mednet.data.readers import open_reader
 from tpu_mednet.data.stores import VolumeGroup
 from tpu_mednet.inference.sliding_window import pad_batch
 
@@ -157,7 +157,7 @@ def predict_volumes_weighted_on_device(
     patch_overlap: Sequence[int],
     batch_size: int = 8,
     image_group: str = "images",
-    reader_cls=HDF5Reader,
+    reader_cls=None,
     reader=None,
     pad_mode: str = "constant",
     sigma_scale: float = 0.125,
@@ -174,7 +174,7 @@ def predict_volumes_weighted_on_device(
     num_heatmaps = getattr(task, "num_heatmaps", 0)
     out_c = num_heatmaps + 1
     owns = reader is None
-    r = reader if reader is not None else reader_cls(data_path)
+    r = reader if reader is not None else open_reader(data_path, reader_cls)
     affines = r.get_data_attribute(subject_keys, image_group, "affine")
     volumes = list(r.read(subject_keys, image_group, dtype=np.float16))
     if owns:
@@ -227,7 +227,7 @@ def predict_volumes_weighted(
     patch_overlap: Sequence[int],
     batch_size: int = 8,
     image_group: str = "images",
-    reader_cls=HDF5Reader,
+    reader_cls=None,
     reader=None,
     pad_mode: str = "constant",
     sigma_scale: float = 0.125,

@@ -94,12 +94,22 @@ class Trainer:
         state = create_train_state(
             self.task.model, self.sample_shape, self.learning_rate, seed=self.seed
         )
-        start_epoch = 0
+        self.start_epoch = 0
         if resume:
             mgr = self.ckpt if (self.ckpt and str(self.ckpt.directory) == str(resume)) \
                 else CheckpointManager(resume)
             state, _ = mgr.restore(state)
-            logger.info("resumed from %s at step %d", resume, int(state.step))
+            # continue epoch accounting from the restored step so a resumed
+            # run trains to the ORIGINAL max_epochs total (PL
+            # resume_from_checkpoint semantics, reference train_seg.py:123-125)
+            steps_per_epoch = max(
+                len(self.train_sampler) // self.batch_size, 1
+            )
+            self.start_epoch = int(state.step) // steps_per_epoch
+            logger.info(
+                "resumed from %s at step %d (epoch %d)",
+                resume, int(state.step), self.start_epoch,
+            )
         state = jax.device_put(state, self._replicated)
         logger.info("model parameters: %.2fM", param_count(state) / 1e6)
         self.state = state
@@ -158,7 +168,10 @@ class Trainer:
         assert self.state is not None
         if self.val_sampler is None:
             return {}
-        sums: Dict[str, float] = {}
+        # accumulate metric scalars ON DEVICE and pull them to the host once
+        # per epoch — a float() per metric per batch forces a device sync
+        # every val batch, which serializes validation over the slow tunnel
+        sums: Dict[str, jax.Array] = {}
         count = 0
         host_iter = self.val_sampler.batches(self.batch_size, shuffle=False)
         if getattr(self.val_sampler, "device_resident", False):
@@ -171,9 +184,10 @@ class Trainer:
             if self.sample_visualizer is not None and i % self.log_interval == 0:
                 self.sample_visualizer(self, batch, epoch, i)
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums[k] = v if k not in sums else sums[k] + v
             count += 1
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        sums = jax.device_get(sums)  # single host pull for the whole epoch
+        means = {k: float(v) / max(count, 1) for k, v in sums.items()}
         if self.metrics and means:
             self.metrics.log_scalars(int(self.state.step), means)
         if means:
@@ -183,7 +197,7 @@ class Trainer:
     def fit(self, resume: Optional[str] = None) -> TrainState:
         if self.state is None:
             self.init_state(resume=resume)
-        for epoch in range(self.max_epochs):
+        for epoch in range(getattr(self, "start_epoch", 0), self.max_epochs):
             self.train_epoch(epoch)
             self.val_epoch(epoch)
             if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:

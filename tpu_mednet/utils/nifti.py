@@ -53,7 +53,7 @@ def save_nifti(path, data: np.ndarray, affine: Optional[np.ndarray] = None) -> N
 
     hdr = bytearray(_HEADER_SIZE)
     struct.pack_into("<i", hdr, 0, _HEADER_SIZE)           # sizeof_hdr
-    hdr[39] = ord("r")                                      # dim_info unused
+    # byte 39 (dim_info) stays 0: no freq/phase/slice encoding claimed
     struct.pack_into("<8h", hdr, 40, *dim)                  # dim
     struct.pack_into("<h", hdr, 70, code)                   # datatype
     struct.pack_into("<h", hdr, 72, bitpix)                 # bitpix
