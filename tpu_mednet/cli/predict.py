@@ -37,6 +37,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logging.basicConfig(level=args.log_level)
     logging.getLogger("absl").setLevel(logging.WARNING)
     logger = logging.getLogger("predict")
+
+    # multi-host: initialize jax.distributed BEFORE first backend use
+    # (no-op single-host; env-driven, SURVEY §5.8)
+    from tpu_mednet.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     cfg = load_yaml_config(args.config, args.overrides)
 
     base = cfg.get("base", {})

@@ -38,6 +38,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logging.getLogger("absl").setLevel(logging.WARNING)
     logger = logging.getLogger("train_seg")
 
+    # multi-host: initialize jax.distributed BEFORE first backend use
+    # (no-op single-host; env-driven, SURVEY §5.8)
+    from tpu_mednet.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     # heavyweight imports after arg parsing so --help stays fast
     from tpu_mednet.data import PatchSampler
     from tpu_mednet.data.device_sampler import DevicePatchSampler

@@ -34,12 +34,18 @@ def device_prefetch(
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
 
     def put(batch):
+        from tpu_mednet.parallel.multihost import assemble_global_array
+
         out = dict(batch)
         for k in array_keys:
             if k in out:
                 arr = np.ascontiguousarray(out[k])
+                # multi-process: this host's rows become its shard of the
+                # GLOBAL batch-sharded array (SURVEY §5.8); single-process
+                # this is a plain (sharded) device_put
                 out[k] = (
-                    jax.device_put(arr, sharding) if sharding is not None
+                    assemble_global_array(arr, sharding)
+                    if sharding is not None
                     else jax.device_put(arr)
                 )
         return out

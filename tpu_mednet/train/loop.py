@@ -88,6 +88,18 @@ class Trainer:
         self.sample_shape = (batch_size, *patch.tolist(), in_ch)
         self.state: Optional[TrainState] = None
 
+        # multi-host: batch_size is GLOBAL; each host samples only its rows
+        # and the global array is assembled in device_prefetch (SURVEY §5.8)
+        from tpu_mednet.parallel.multihost import local_batch_size
+        self.local_batch_size = local_batch_size(batch_size)
+        if self.local_batch_size != batch_size and getattr(
+            train_sampler, "device_resident", False
+        ):
+            raise ValueError(
+                "DevicePatchSampler is single-process; use PatchSampler "
+                "for multi-host input pipelines"
+            )
+
     # -- lifecycle --------------------------------------------------------
 
     def init_state(self, resume: Optional[str] = None) -> TrainState:
@@ -102,8 +114,10 @@ class Trainer:
             # continue epoch accounting from the restored step so a resumed
             # run trains to the ORIGINAL max_epochs total (PL
             # resume_from_checkpoint semantics, reference train_seg.py:123-125)
+            # sampler len is per-host (keys pre-sharded), so divide by the
+            # per-host batch rows to get global steps per epoch
             steps_per_epoch = max(
-                len(self.train_sampler) // self.batch_size, 1
+                len(self.train_sampler) // self.local_batch_size, 1
             )
             self.start_epoch = int(state.step) // steps_per_epoch
             logger.info(
@@ -121,7 +135,7 @@ class Trainer:
         assert self.state is not None
         step_times = []
         last_metrics = {}
-        host_iter = self.train_sampler.batches(self.batch_size, shuffle=True)
+        host_iter = self.train_sampler.batches(self.local_batch_size, shuffle=True)
         if getattr(self.train_sampler, "device_resident", False):
             batch_iter = host_iter  # batches are already in HBM
         else:
@@ -173,7 +187,7 @@ class Trainer:
         # every val batch, which serializes validation over the slow tunnel
         sums: Dict[str, jax.Array] = {}
         count = 0
-        host_iter = self.val_sampler.batches(self.batch_size, shuffle=False)
+        host_iter = self.val_sampler.batches(self.local_batch_size, shuffle=False)
         if getattr(self.val_sampler, "device_resident", False):
             batch_iter = host_iter
         else:
