@@ -101,3 +101,54 @@ def test_data_parallel_inference_matches_single_device():
         predict_volumes(task, variables, None, ["k"], patch_size=[8, 8, 8],
                         patch_overlap=[2, 2, 2], batch_size=3, reader=reader,
                         mesh=make_mesh(n_data=8))
+
+
+def test_spatial_explicit_matches_contract_oracle():
+    """Value equivalence of the explicit-halo path for a pooled U-Net.
+
+    The documented contract (parallel/halo.py:85-89): with halo >= the
+    receptive-field reach, the sharded result equals
+    ``crop(fn(zero_pad(volume, halo)), halo)`` computed unsharded, EXACTLY.
+    A norm-free config is used because GroupNorm statistics are global
+    (local per-shard stats diverge by design in explicit mode; the 'auto'
+    GSPMD mode covers GN exactly via inserted collectives, tested above).
+    A too-small halo must break equality (negative control), validating
+    that receptive_halo's bound is doing real work.
+    """
+    import jax
+    from tpu_mednet.parallel.halo import spatially_sharded_apply
+    from tpu_mednet.parallel.mesh import spatial_sharding
+
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        block="residual", layer_order="cr", dtype=jnp.float32,
+    ))
+    state = create_train_state(model, (1, 16, 16, 16, 1), 1e-3, seed=0)
+    variables = {"params": state.params}
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 64, 16, 16, 1)).astype(np.float32))
+
+    def fwd(v):
+        return model.apply(variables, v, train=False)
+
+    pool = 2  # 2 levels -> one 2x pooling
+    mesh = make_mesh(n_data=1, n_space=2)
+
+    def oracle(halo):
+        padded = jnp.pad(x, [(0, 0), (halo, halo), (0, 0), (0, 0), (0, 0)])
+        out = fwd(padded)
+        return np.asarray(out[:, halo:out.shape[1] - halo])
+
+    def sharded(halo):
+        xs = jax.device_put(x, spatial_sharding(mesh, axis=1))
+        f = spatially_sharded_apply(fwd, mesh, halo=halo, spatial_axis=1)
+        return np.asarray(jax.jit(f)(xs))
+
+    halo = receptive_halo(2)  # 18, a multiple of pool already
+    assert halo % pool == 0 and halo < 32  # fits in a 32-wide shard
+    np.testing.assert_array_equal(sharded(halo), oracle(halo))
+
+    # negative control: a 1-conv-deep halo cannot cover the pooled reach
+    small = pool  # 2
+    assert np.any(sharded(small) != oracle(small))
