@@ -122,3 +122,33 @@ def test_two_process_dp_training(tmp_path):
     assert results[0][0] == results[1][0] == 2  # 1 epoch x 2 steps
     assert np.isfinite(results[0][1])
     assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
+
+
+def test_local_batch_size_single_process():
+    from tpu_mednet.parallel.multihost import local_batch_size
+
+    assert local_batch_size(4) == 4  # single process: identity
+
+
+def test_assemble_global_array_single_process():
+    import jax.numpy as jnp
+    from tpu_mednet.parallel.mesh import batch_sharding, make_mesh
+    from tpu_mednet.parallel.multihost import assemble_global_batch
+
+    mesh = make_mesh(n_data=8)
+    sh = batch_sharding(mesh)
+    batch = {"data": np.arange(16, dtype=np.float32).reshape(8, 2),
+             "label": np.ones((8, 2), np.uint8), "subject_key": ["a"] * 8}
+    out = assemble_global_batch(batch, sh)
+    assert out["subject_key"] == ["a"] * 8  # non-arrays pass through
+    np.testing.assert_array_equal(np.asarray(out["data"]), batch["data"])
+    assert out["data"].sharding == sh
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    from tpu_mednet.parallel import multihost
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "TPU_MEDNET_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.maybe_initialize_distributed() is False
