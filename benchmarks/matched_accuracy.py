@@ -1,0 +1,278 @@
+"""Matched-accuracy evidence: torch reference vs tpu-mednet, same data.
+
+The north-star is speedup *at matched Dice / landmark error*
+(BASELINE.json).  This harness trains the architecture-identical torch
+model (the reference's ResidualUNet3D semantics,
+`/root/reference/midasmednet/unet/model.py:113-213`) and tpu-mednet on the
+SAME synthetic dataset and the SAME pre-drawn patch sequence, then
+evaluates both with the SAME numpy metrics:
+
+- seg:  per-channel Dice of the argmax mask over whole val volumes
+        (reference metric: `segmentation.py:104-109`);
+- ldmk: mean Euclidean landmark error (voxels) from predicted-heatmap
+        argmax peaks (+ class-channel Dice)
+        (reference metrics: `landmarks.py:154-162`).
+
+Run:  python benchmarks/matched_accuracy.py [--task seg|ldmk|both]
+Writes benchmarks/matched_accuracy.json; results are recorded in
+BASELINE.md's "matched accuracy" table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+PATCH = 32
+N_CLASSES = 3  # bg, sphere, box
+N_HEATMAPS = 2
+SIGMA = 3.0
+FMAPS = 8
+LEVELS = 3
+BATCH = 2
+LR = 1e-3
+
+
+# --------------------------------------------------------------------------
+# shared synthetic dataset + patch schedule (numpy, fully seeded)
+# --------------------------------------------------------------------------
+
+def make_subject(rng, size=48):
+    """One 48^3 subject: sphere (class 1) + box (class 2) on noise, with a
+    landmark at each structure's center."""
+    img = rng.normal(0.0, 0.1, size=(size, size, size)).astype(np.float32)
+    lbl = np.zeros((size, size, size), dtype=np.uint8)
+
+    c1 = rng.integers(12, size - 12, size=3)
+    r = int(rng.integers(6, 10))
+    zz, yy, xx = np.ogrid[:size, :size, :size]
+    sphere = ((zz - c1[0]) ** 2 + (yy - c1[1]) ** 2 + (xx - c1[2]) ** 2) <= r * r
+    lbl[sphere] = 1
+    img[sphere] += 1.5
+
+    c2 = rng.integers(10, size - 10, size=3)
+    h = int(rng.integers(4, 7))
+    box = (slice(c2[0] - h, c2[0] + h), slice(c2[1] - h, c2[1] + h),
+           slice(c2[2] - h, c2[2] + h))
+    lbl[box] = 2
+    img[box] -= 1.5
+
+    landmarks = np.stack([c1, c2]).astype(np.float32)  # (2, 3)
+    heatmaps = np.zeros((N_HEATMAPS, size, size, size), dtype=np.uint8)
+    grid = np.stack(np.meshgrid(*[np.arange(size)] * 3, indexing="ij"))
+    for i, c in enumerate(landmarks):
+        d2 = ((grid - c[:, None, None, None]) ** 2).sum(axis=0)
+        heatmaps[i] = np.round(255.0 * np.exp(-d2 / (2 * SIGMA**2))).astype(np.uint8)
+    return img[None], lbl[None], heatmaps, landmarks
+
+
+def make_dataset(n_train=4, n_val=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return ([make_subject(rng) for _ in range(n_train)],
+            [make_subject(rng) for _ in range(n_val)])
+
+
+def draw_patch_schedule(train, steps, seed=1):
+    """Pre-draw the (subject, corner) of every training patch so both
+    frameworks consume the IDENTICAL patch sequence."""
+    rng = np.random.default_rng(seed)
+    sched = []
+    size = train[0][0].shape[1]
+    for _ in range(steps * BATCH):
+        s = int(rng.integers(len(train)))
+        if rng.random() < 0.7:  # class-balanced: contain a labeled voxel
+            cls = int(rng.integers(1, N_CLASSES))
+            pos = np.argwhere(train[s][1][0] == cls)
+            p = pos[rng.integers(len(pos))]
+            lo = np.maximum(p - PATCH + 1, 0)
+            hi = np.minimum(p, size - PATCH)
+            corner = np.array([int(rng.integers(l, h + 1))
+                               for l, h in zip(lo, np.maximum(hi, lo))])
+        else:
+            corner = rng.integers(0, size - PATCH + 1, size=3)
+        sched.append((s, corner))
+    return sched
+
+
+def crop(vol, corner):
+    x, y, z = corner
+    return vol[:, x:x + PATCH, y:y + PATCH, z:z + PATCH]
+
+
+def batches(train, sched, task):
+    """Yield (data (B,1,P,P,P) f32, label (B,L,P,P,P)) in storage layout;
+    label = [heatmaps...,] classmap with classmap LAST (dataset.py:322-330)."""
+    for i in range(0, len(sched), BATCH):
+        datas, labels = [], []
+        for s, corner in sched[i:i + BATCH]:
+            img, lbl, hm, _ = train[s]
+            datas.append(crop(img, corner))
+            parts = ([crop(hm, corner)] if task == "ldmk" else []) + [crop(lbl, corner)]
+            labels.append(np.concatenate(parts, axis=0))
+        yield np.stack(datas), np.stack(labels)
+
+
+# --------------------------------------------------------------------------
+# shared numpy metrics
+# --------------------------------------------------------------------------
+
+def dice_per_channel(pred_mask, true_mask, n_classes=N_CLASSES):
+    out = []
+    for c in range(n_classes):
+        p, g = pred_mask == c, true_mask == c
+        denom = p.sum() + g.sum()
+        out.append(2.0 * np.logical_and(p, g).sum() / max(denom, 1e-5))
+    return out
+
+
+def landmark_error(pred_heatmaps, true_coords):
+    errs = []
+    for i, c in enumerate(true_coords):
+        peak = np.unravel_index(np.argmax(pred_heatmaps[i]), pred_heatmaps[i].shape)
+        errs.append(float(np.linalg.norm(np.asarray(peak) - c)))
+    return errs
+
+
+# --------------------------------------------------------------------------
+# torch side (architecture-identical to the reference model)
+# --------------------------------------------------------------------------
+
+def run_torch(task, train, val, sched, steps):
+    import torch
+    import torch.nn.functional as F
+    from torch_baseline import TorchResidualUNet3D, dice_loss
+
+    torch.manual_seed(0)
+    out_ch = N_CLASSES + (N_HEATMAPS if task == "ldmk" else 0)
+    model = TorchResidualUNet3D(in_ch=1, out_ch=out_ch, f=FMAPS, levels=LEVELS)
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+
+    t0 = time.perf_counter()
+    for data, label in batches(train, sched, task):
+        x = torch.from_numpy(data)
+        opt.zero_grad()
+        logits = model(x)
+        if task == "ldmk":
+            hm = torch.from_numpy(label[:, :N_HEATMAPS].astype(np.float32))
+            cls = torch.from_numpy(label[:, -1].astype(np.int64))
+            loss = (F.mse_loss(logits[:, :N_HEATMAPS], hm)
+                    + dice_loss(logits[:, N_HEATMAPS:], cls))
+        else:
+            cls = torch.from_numpy(label[:, -1].astype(np.int64))
+            loss = dice_loss(logits, cls)
+        loss.backward()
+        opt.step()
+    train_s = time.perf_counter() - t0
+
+    dices, lerrs = [], []
+    with torch.no_grad():
+        for img, lbl, hm, lm in val:
+            logits = model(torch.from_numpy(img[None])).numpy()[0]
+            mask = np.argmax(logits[-N_CLASSES:], axis=0)
+            dices.append(dice_per_channel(mask, lbl[0]))
+            if task == "ldmk":
+                lerrs += landmark_error(logits[:N_HEATMAPS], lm)
+    return summarize("torch-cpu", task, steps, train_s, dices, lerrs)
+
+
+# --------------------------------------------------------------------------
+# tpu-mednet side (shipping config: params fp32, compute bf16)
+# --------------------------------------------------------------------------
+
+def run_jax(task, train, val, sched, steps, dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from tpu_mednet.models import ResidualUNet3D
+    from tpu_mednet.tasks import LandmarkTask, SegmentationTask
+    from tpu_mednet.train import create_train_state, make_train_step
+
+    out_ch = N_CLASSES + (N_HEATMAPS if task == "ldmk" else 0)
+    model = ResidualUNet3D(in_channels=1, out_channels=out_ch,
+                           f_maps=FMAPS, num_levels=LEVELS,
+                           dtype=jnp.dtype(dtype))
+    if task == "ldmk":
+        t = LandmarkTask(model=model, loss_regression_weight=[1.0] * N_HEATMAPS)
+    else:
+        t = SegmentationTask(model=model, loss="DICE")
+    step = make_train_step(t)
+    state = create_train_state(model, (BATCH, PATCH, PATCH, PATCH, 1), LR, seed=0)
+
+    t0 = time.perf_counter()
+    for data, label in batches(train, sched, task):
+        batch = {"data": jnp.asarray(np.moveaxis(data, 1, -1)),
+                 "label": jnp.asarray(np.moveaxis(label, 1, -1))}
+        state, metrics = step(state, batch)
+    _ = float(metrics["train_loss"])  # sync
+    train_s = time.perf_counter() - t0
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))
+    dices, lerrs = [], []
+    for img, lbl, hm, lm in val:
+        x = jnp.asarray(np.moveaxis(img, 0, -1)[None])
+        logits = np.moveaxis(np.asarray(fwd(state.params, x), np.float32)[0], -1, 0)
+        mask = np.argmax(logits[-N_CLASSES:], axis=0)
+        dices.append(dice_per_channel(mask, lbl[0]))
+        if task == "ldmk":
+            lerrs += landmark_error(logits[:N_HEATMAPS], lm)
+    backend = jax.default_backend()
+    return summarize(f"tpu-mednet-{backend}-{dtype}", task, steps, train_s,
+                     dices, lerrs)
+
+
+def summarize(framework, task, steps, train_s, dices, lerrs):
+    d = np.mean(np.asarray(dices), axis=0)
+    res = {
+        "framework": framework,
+        "task": task,
+        "steps": steps,
+        "train_seconds": round(train_s, 2),
+        "patches_per_sec": round(steps * BATCH / train_s, 3),
+        "val_dice_per_channel": [round(float(v), 4) for v in d],
+        "val_dice_mean_fg": round(float(np.mean(d[1:])), 4),
+    }
+    if lerrs:
+        res["landmark_error_voxels"] = round(float(np.mean(lerrs)), 3)
+    print(json.dumps(res))
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["seg", "ldmk", "both"], default="both")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--skip", choices=["torch", "jax", "none"], default="none")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="tpu-mednet compute dtype (bfloat16 | float32)")
+    args = ap.parse_args()
+
+    tasks = ["seg", "ldmk"] if args.task == "both" else [args.task]
+    out_path = Path(__file__).parent / "matched_accuracy.json"
+    results = json.loads(out_path.read_text()) if out_path.exists() else {}
+    for task in tasks:
+        train, val = make_dataset()
+        sched = draw_patch_schedule(train, args.steps)
+        entry = results.setdefault(task, {})
+        entry["config"] = {
+            "patch": PATCH, "batch": BATCH, "steps": args.steps,
+            "fmaps": FMAPS, "levels": LEVELS, "lr": LR,
+            "n_classes": N_CLASSES, "n_heatmaps": N_HEATMAPS,
+        }
+        if args.skip != "torch":
+            entry["torch"] = run_torch(task, train, val, sched, args.steps)
+        if args.skip != "jax":
+            key = "tpu_mednet" if args.dtype == "bfloat16" \
+                else f"tpu_mednet_{args.dtype}"
+            entry[key] = run_jax(task, train, val, sched, args.steps,
+                                 dtype=args.dtype)
+        out_path.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    main()

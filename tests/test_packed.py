@@ -57,7 +57,8 @@ def test_packed_conv_bias():
 
 @pytest.mark.parametrize("zb_in", [1, 2, 4])
 def test_packed_conv_transpose_matches_flax(zb_in):
-    """Packed stride-2 transposed conv == unpack -> flax ConvTranspose -> pack."""
+    """Packed stride-2 transposed conv == unpack -> flax ConvTranspose
+    (torch-phase padding (1,2)) -> pack."""
     from flax import linen as nn
 
     from tpu_mednet.ops.packed import packed_conv_transpose3d
@@ -68,12 +69,40 @@ def test_packed_conv_transpose_matches_flax(zb_in):
     w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
     ct = nn.ConvTranspose(features=co, kernel_size=(3, 3, 3), strides=(2, 2, 2),
-                          padding="SAME")
+                          padding=((1, 2), (1, 2), (1, 2)))
     ref = ct.apply({"params": {"kernel": w, "bias": b}}, x)
     out = packed_conv_transpose3d(pack_z(x, zb_in), w, zb_in, bias=b)
     np.testing.assert_array_equal(
         np.asarray(unpack_z(out, 2 * zb_in)), np.asarray(ref)
     )
+
+
+def test_conv_transpose_matches_torch_geometry():
+    """The decoder upsample phase equals torch ConvTranspose3d(k=3, s=2,
+    p=1, op=1) — the reference geometry (components.py:259-266) — up to
+    the kernel-flip reparameterization (flax correlates, torch scatters).
+    flax 'SAME' is shifted +1 voxel per dim and would misalign the
+    skip-sum."""
+    torch = pytest.importorskip("torch")
+    from flax import linen as nn
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=(3, 3, 3)).astype(np.float32)
+    x = rng.normal(size=(1, 1, 5, 4, 6)).astype(np.float32)
+
+    tconv = torch.nn.ConvTranspose3d(1, 1, 3, stride=2, padding=1,
+                                     output_padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight[:] = torch.from_numpy(w[None, None])
+    ref = tconv(torch.from_numpy(x)).detach().numpy()[0, 0]
+
+    m = nn.ConvTranspose(features=1, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                         padding=((1, 2), (1, 2), (1, 2)), use_bias=False)
+    flipped = jnp.asarray(np.ascontiguousarray(
+        w[::-1, ::-1, ::-1])[..., None, None])
+    out = m.apply({"params": {"kernel": flipped}},
+                  jnp.asarray(np.moveaxis(x, 1, -1)))[0, ..., 0]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
 def test_packed_conv_transpose_module_param_parity():

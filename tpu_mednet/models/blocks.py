@@ -79,6 +79,43 @@ def group_count(num_channels: int, num_groups: int) -> int:
     return num_groups
 
 
+def _conv_init_torch(key, shape, dtype):
+    """torch ``nn.Conv3d`` default init (the init the reference model
+    actually trains from): kaiming_uniform(a=sqrt(5)) == U(-b, b) with
+    b = 1/sqrt(fan_in), fan_in = in_ch * prod(kernel).  Kernel shape here
+    is flax's (k, k, k, in, out)."""
+    fan_in = 1
+    for s in shape[:-1]:
+        fan_in *= int(s)
+    b = float(fan_in) ** -0.5
+    return jax.random.uniform(key, shape, dtype, -b, b)
+
+
+def _transpose_init_torch(key, shape, dtype):
+    """torch ``nn.ConvTranspose3d`` default init: same kaiming_uniform but
+    torch's fan_in for transposed weights (in, out, k, k, k) is
+    out_ch * prod(kernel) (dim-1 convention)."""
+    receptive = 1
+    for s in shape[:-2]:
+        receptive *= int(s)
+    fan_in = int(shape[-1]) * receptive
+    b = float(fan_in) ** -0.5
+    return jax.random.uniform(key, shape, dtype, -b, b)
+
+
+def resolve_kernel_init(scheme: str, transpose: bool = False):
+    """Map an init-scheme name to a flax kernel initializer.
+
+    ``'torch'`` (default) matches the reference's effective initialization
+    (torch layer defaults); ``'lecun'`` is flax's lecun_normal default.
+    """
+    if scheme == "lecun":
+        return nn.initializers.lecun_normal()
+    if scheme == "torch":
+        return _transpose_init_torch if transpose else _conv_init_torch
+    raise ValueError(f"init_scheme must be 'torch' or 'lecun', got {scheme!r}")
+
+
 class ConvLayer(nn.Module):
     """One conv 'layer' described by an order string (e.g. ``'crg'``).
 
@@ -99,6 +136,7 @@ class ConvLayer(nn.Module):
     padding: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
     # z-packed compute mode (tpu_mednet.ops.packed): operate on
     # (..., Z/zb, zb*C) tensors with identical logical math and params
     z_block: int = 1
@@ -123,6 +161,7 @@ class ConvLayer(nn.Module):
                         z_block=zb,
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
+                        kernel_init=resolve_kernel_init(self.init_scheme),
                         name="conv",
                     )(x)
                 else:
@@ -133,6 +172,7 @@ class ConvLayer(nn.Module):
                         use_bias=use_bias,
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
+                        kernel_init=resolve_kernel_init(self.init_scheme),
                         name="conv",
                     )(x)
             elif char in "rle":
@@ -185,6 +225,7 @@ class DoubleConv(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
     z_block: int = 1
 
     @nn.compact
@@ -200,6 +241,7 @@ class DoubleConv(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
             z_block=self.z_block,
         )
         x = ConvLayer(out_channels=mid, name="conv1", **common)(x, train=train)
@@ -232,6 +274,7 @@ class ExtResNetBlock(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
     z_block: int = 1
 
     @nn.compact
@@ -242,6 +285,7 @@ class ExtResNetBlock(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
             z_block=self.z_block,
         )
         out = ConvLayer(order=self.order, name="conv1", **common)(x, train=train)
@@ -292,6 +336,7 @@ class EncoderStage(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
     z_block: int = 1
     # packed_io: input/output stay z-packed (pooling runs in packed layout
     # via lane slices) — no per-stage relayout copies.  ``z_block_in`` is
@@ -327,6 +372,7 @@ class EncoderStage(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
             z_block=self.z_block,
             name="block",
         )(x, train=train)
@@ -364,6 +410,7 @@ class DecoderStage(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
     z_block: int = 1
     # packed_io (residual join only): encoder_features and the output are
     # packed at z_block; x (the deeper decoder output) is packed at
@@ -398,16 +445,31 @@ class DecoderStage(nn.Module):
                     z_block_in=max(self.z_block // 2, 1),
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    kernel_init=resolve_kernel_init(
+                        self.init_scheme, transpose=True
+                    ),
                     name="upsample",
                 )(x)
             else:
+                # torch-phase upsample: ConvTranspose3d(k=3, s=2, p=1,
+                # op=1) places an input voxel's taps at output [2j-1, 2j+1]
+                # — flax 'SAME' is shifted +1, misaligning the upsample
+                # with the skip-sum (verified vs torch; see
+                # tests/test_blocks.py torch-geometry golden test)
+                if k == 3 and tuple(self.scale_factor) == (2, 2, 2):
+                    pad = ((1, 2), (1, 2), (1, 2))
+                else:
+                    pad = "SAME"
                 x = nn.ConvTranspose(
                     features=self.out_channels,
                     kernel_size=(k, k, k),
                     strides=self.scale_factor,
-                    padding="SAME",
+                    padding=pad,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    kernel_init=resolve_kernel_init(
+                        self.init_scheme, transpose=True
+                    ),
                     name="upsample",
                 )(x)
             x = x + encoder_features
@@ -421,6 +483,7 @@ class DecoderStage(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
             z_block=self.z_block,
             name="block",
         )(x, train=train)
@@ -440,6 +503,7 @@ class FinalConv(nn.Module):
     num_groups: int = 8
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    init_scheme: str = "torch"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
@@ -450,6 +514,7 @@ class FinalConv(nn.Module):
             num_groups=self.num_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            init_scheme=self.init_scheme,
             name="conv",
         )(x, train=train)
         x = nn.Conv(
@@ -457,6 +522,7 @@ class FinalConv(nn.Module):
             kernel_size=(1, 1, 1),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            kernel_init=resolve_kernel_init(self.init_scheme),
             name="final_conv",
         )(x)
         return x

@@ -32,6 +32,7 @@ class PackedConv(nn.Module):
     z_block: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x_packed: jax.Array) -> jax.Array:
@@ -40,7 +41,7 @@ class PackedConv(nn.Module):
         in_ch = x_packed.shape[-1] // zb
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (k, k, k, in_ch, self.features),
             self.param_dtype,
         )
@@ -83,6 +84,7 @@ class PackedConvTranspose(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x_packed: jax.Array) -> jax.Array:
@@ -92,7 +94,7 @@ class PackedConvTranspose(nn.Module):
         in_ch = x_packed.shape[-1] // self.z_block_in
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (k, k, k, in_ch, self.features),
             self.param_dtype,
         )

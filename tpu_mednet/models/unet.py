@@ -54,6 +54,10 @@ class UNetConfig:
     skip_final_activation: bool = False
     pool_type: str = "max"
     dtype: Any = jnp.bfloat16
+    # weight init: 'torch' matches the reference's effective initialization
+    # (torch layer defaults, what the reference model actually trains
+    # from); 'lecun' is the flax default
+    init_scheme: str = "torch"
     # rematerialize encoder/decoder stages in the backward pass: trades
     # recompute FLOPs for activation HBM, raising the max trainable batch
     # (jax.checkpoint / XLA remat).
@@ -99,6 +103,7 @@ class UNet3DBase(nn.Module):
             num_groups=cfg.num_groups,
             dtype=cfg.dtype,
             param_dtype=jnp.float32,
+            init_scheme=cfg.init_scheme,
         )
 
         # optional per-stage rematerialization: the backward pass recomputes
@@ -113,8 +118,17 @@ class UNet3DBase(nn.Module):
         run_enc = lambda mdl, x: mdl(x, train=train)
         run_dec = lambda mdl, enc, x: mdl(enc, x, train=train)
         if remat_k > 0:
-            run_enc_remat = nn.remat(lambda mdl, x: mdl(x, train=train))
-            run_dec_remat = nn.remat(lambda mdl, enc, x: mdl(enc, x, train=train))
+            # keep the GroupNorm statistics (tiny (N, groups) arrays, tagged
+            # with checkpoint_name in ops/packed.py) across the backward:
+            # recomputing a stage then re-reduces its GN stats — a full HBM
+            # re-read of the activation for a handful of scalars
+            policy = jax.checkpoint_policies.save_only_these_names("gn_stats")
+            run_enc_remat = nn.remat(
+                lambda mdl, x: mdl(x, train=train), policy=policy
+            )
+            run_dec_remat = nn.remat(
+                lambda mdl, enc, x: mdl(enc, x, train=train), policy=policy
+            )
         else:
             run_enc_remat, run_dec_remat = run_enc, run_dec
 
@@ -178,6 +192,8 @@ class UNet3DBase(nn.Module):
         if packed_io:
             from tpu_mednet.models.packed_layers import PackedConv
 
+            from tpu_mednet.models.blocks import resolve_kernel_init
+
             x = PackedConv(
                 features=cfg.out_channels,
                 kernel_size=1,
@@ -185,15 +201,19 @@ class UNet3DBase(nn.Module):
                 z_block=zb0,
                 dtype=cfg.dtype,
                 param_dtype=jnp.float32,
+                kernel_init=resolve_kernel_init(cfg.init_scheme),
                 name="final_conv",
             )(x)
             x = unpack_z(x, zb0)
         else:
+            from tpu_mednet.models.blocks import resolve_kernel_init
+
             x = nn.Conv(
                 features=cfg.out_channels,
                 kernel_size=(1, 1, 1),
                 dtype=cfg.dtype,
                 param_dtype=jnp.float32,
+                kernel_init=resolve_kernel_init(cfg.init_scheme),
                 name="final_conv",
             )(x)
         # fp32 logits: cheap (tiny channel dim) and stabilizes softmax/Dice.

@@ -88,11 +88,14 @@ def build_packed_transpose_weights(w: Array, zb_in: int) -> Array:
     """(kx,ky,3, Ci, Co) logical -> (kx,ky,2, zb_in*Ci, 2*zb_in*Co).
 
     Structured weight for a stride-2 transposed conv consumed in packed
-    layout: the z-upsample is folded into the channel mapping.  With flax's
-    ``ConvTranspose(k=3, strides=2, 'SAME')`` convention (correlation on the
-    2x-dilated input, padding (2,1)), logical tap ``t`` contributes to packed
-    entry (dk, zi, zo) when ``t = 2*((dk-1)*zb_in + zi) - zo + 2`` lands in
-    {0,1,2}; ``dk`` in {0,1} is the packed-z kernel index (offsets -1, 0).
+    layout: the z-upsample is folded into the channel mapping.  The phase
+    matches torch ``ConvTranspose3d(k=3, stride=2, padding=1,
+    output_padding=1)`` — the reference decoder geometry
+    (components.py:259-266), i.e. flax ``ConvTranspose`` with explicit
+    padding (1,2): output logical z ``i`` draws from inputs ``j`` with
+    ``i = 2j + 1 - t``, so tap ``t`` contributes to packed entry
+    (dk, zi, zo) when ``t = 2*(dk*zb_in + zi) - zo + 1`` lands in {0,1,2};
+    ``dk`` in {0,1} is the packed-z kernel index (pack offsets 0, +1).
     """
     kx, ky, kz, ci, co = w.shape
     if kz != 3:
@@ -102,7 +105,7 @@ def build_packed_transpose_weights(w: Array, zb_in: int) -> Array:
     for dk in range(2):
         for zi in range(zb_in):
             for zo in range(zb_out):
-                t = 2 * ((dk - 1) * zb_in + zi) - zo + 2
+                t = 2 * (dk * zb_in + zi) - zo + 1
                 if 0 <= t <= 2:
                     wp = wp.at[
                         :, :, dk, zi * ci:(zi + 1) * ci, zo * co:(zo + 1) * co
@@ -112,19 +115,22 @@ def build_packed_transpose_weights(w: Array, zb_in: int) -> Array:
 
 def packed_conv_transpose3d(x_packed: Array, w_logical: Array, zb_in: int,
                             bias: Array = None) -> Array:
-    """Stride-2 'SAME' transposed conv (kernel 3) on a z-packed tensor.
+    """Stride-2 transposed conv (kernel 3) on a z-packed tensor,
+    torch-phase geometry (reference components.py:259-266).
 
     Input is packed at ``zb_in`` over z; output is packed at ``2*zb_in``
     over ``2*z`` — the packed z extent is UNCHANGED, so the upsample needs
     no relayout: x/y upsample via ``lhs_dilation``, z upsample via the
     structured weight.  Bit-exact (fp32) to
-    unpack -> flax ConvTranspose(k=3, strides=2, 'SAME') -> pack.
+    unpack -> flax ConvTranspose(k=3, strides=2, padding=((1,2),)*3) -> pack
+    (the torch ConvTranspose3d(k3,s2,p1,op1) phase up to the kernel-flip
+    reparameterization).
     """
     wp = build_packed_transpose_weights(w_logical, zb_in)
     out = jax.lax.conv_general_dilated(
         x_packed, wp,
         window_strides=(1, 1, 1),
-        padding=((2, 1), (2, 1), (1, 0)),
+        padding=((1, 2), (1, 2), (0, 1)),
         lhs_dilation=(2, 2, 1),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
@@ -155,6 +161,13 @@ def packed_group_norm_stats(x_packed: Array, zb: int, num_groups: int
     qg = q.reshape(n, zb, num_groups, cg).sum(axis=(1, 3))
     mean = sg / count
     var = qg / count - mean**2
+    # name the stats so remat policies can SAVE them across the backward
+    # (save_only_these_names('gn_stats') in models/unet.py): storing (N, G)
+    # scalars is free, recomputing them re-reads the whole activation
+    from jax.ad_checkpoint import checkpoint_name
+
+    mean = checkpoint_name(mean, "gn_stats")
+    var = checkpoint_name(var, "gn_stats")
     return mean, var
 
 
