@@ -195,7 +195,10 @@ def run_jax(task, train, val, sched, steps, dtype="bfloat16"):
                            f_maps=FMAPS, num_levels=LEVELS,
                            dtype=jnp.dtype(dtype))
     if task == "ldmk":
-        t = LandmarkTask(model=model, loss_regression_weight=[1.0] * N_HEATMAPS)
+        # weights 1/H make sum_c w_c*mse_c == the overall F.mse_loss mean the
+        # torch side uses — the two losses are then exactly equal
+        t = LandmarkTask(model=model,
+                         loss_regression_weight=[1.0 / N_HEATMAPS] * N_HEATMAPS)
     else:
         t = SegmentationTask(model=model, loss="DICE")
     step = make_train_step(t)

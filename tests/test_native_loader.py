@@ -1,0 +1,139 @@
+"""Native batch pipeline: byte-equivalence with the numpy PatchSampler path.
+
+The native loader (tpu_mednet/native + data/native_loader.py) replaces the
+per-batch numpy work with one fused C++ pass; these tests pin its output
+byte-for-byte against ``PatchSampler.batches`` under identical seeds —
+the contract that lets CLIs switch it on transparently.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_mednet import native
+from tpu_mednet.data.native_loader import NativeBatchPipeline, make_batch_source
+from tpu_mednet.data.patch_sampler import PatchSampler
+from tpu_mednet.data.readers import MemoryReader
+
+
+def make_reader(n_subjects=3, size=24, heatmaps=False, seed=0):
+    rng = np.random.default_rng(seed)
+    images, labels, hms = {}, {}, {}
+    for i in range(n_subjects):
+        key = f"s{i}"
+        images[key] = rng.normal(0, 1, size=(2, size, size + 2, size + 4)).astype(
+            np.float16)
+        lbl = rng.integers(0, 3, size=(1, size, size + 2, size + 4)).astype(np.uint8)
+        labels[key] = lbl
+        if heatmaps:
+            hms[key] = rng.integers(0, 255, size=(2, size, size + 2, size + 4)).astype(
+                np.uint8)
+    groups = {"images": images, "labels": labels}
+    if heatmaps:
+        groups["heatmaps"] = hms
+    return MemoryReader(groups), list(images)
+
+
+def build_sampler(heatmaps=False, transform=None, seed=7):
+    reader, keys = make_reader(heatmaps=heatmaps)
+    return PatchSampler(
+        data_path=None,
+        subject_keys=keys,
+        samples_per_subject=4,
+        patch_size=(12, 10, 8),
+        heatmap_group="heatmaps" if heatmaps else None,
+        reader=reader,
+        class_probabilities=[0.2, 0.4, 0.4],
+        transform=transform,
+        seed=seed,
+    )
+
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native patchloader not built")
+
+
+@needs_native
+@pytest.mark.parametrize("heatmaps", [False, True])
+@pytest.mark.parametrize("prefetch", [False, True])
+def test_native_matches_numpy_bytes(heatmaps, prefetch):
+    """Same seed => identical batch streams (data, label, metadata)."""
+    ref = build_sampler(heatmaps=heatmaps)
+    nat = build_sampler(heatmaps=heatmaps)
+    pipe = NativeBatchPipeline(nat, prefetch=prefetch)
+    assert pipe.usable()
+
+    ref_batches = list(ref.batches(batch_size=4))
+    got = 0
+    for b_ref, b_nat in zip(ref_batches, pipe.batches(batch_size=4)):
+        np.testing.assert_array_equal(b_ref["data"], b_nat["data"])
+        np.testing.assert_array_equal(b_ref["label"], b_nat["label"])
+        assert b_ref["subject_key"] == b_nat["subject_key"]
+        np.testing.assert_array_equal(b_ref["selected_class"],
+                                      b_nat["selected_class"])
+        assert b_nat["data"].dtype == np.float32
+        assert b_nat["label"].dtype == np.uint8
+        got += 1
+    assert got == len(ref_batches) > 0
+
+
+@needs_native
+def test_native_f16_conversion_exact():
+    """LUT f16->f32 must equal numpy's cast for every finite bit pattern."""
+    bits = np.arange(65536, dtype=np.uint16)
+    halves = bits.view(np.float16).reshape(1, 16, 64, 64)  # (C,X,Y,Z)
+    want = halves.astype(np.float32)
+    lbl = np.zeros((1, 16, 64, 64), np.uint8)
+    out_d = np.empty((1, 16, 64, 64, 1), np.float32)
+    out_l = np.empty((1, 16, 64, 64, 1), np.uint8)
+    native.assemble_batch([halves], [lbl], None,
+                          np.zeros((1, 3), np.int64), (16, 64, 64),
+                          out_d, out_l)
+    got = np.moveaxis(out_d[0], -1, 0)
+    # NaNs: compare bitwise equality of the conversion where finite,
+    # NaN-ness where not
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(got[finite], want[finite])
+    assert np.all(np.isnan(got[~finite]) == np.isnan(want[~finite]))
+
+
+@needs_native
+def test_make_batch_source_auto_and_fallback():
+    s = build_sampler()
+    src = make_batch_source(s)
+    assert isinstance(src, NativeBatchPipeline)
+
+    # a transform hook forces the numpy path (identity transform)
+    s2 = build_sampler(transform=lambda **kw: kw)
+    src2 = make_batch_source(s2)
+    assert src2 is s2
+    with pytest.raises(RuntimeError):
+        make_batch_source(s2, use_native=True)
+
+
+@needs_native
+def test_prefetch_propagates_worker_errors():
+    s = build_sampler()
+    pipe = NativeBatchPipeline(s, prefetch=True)
+    s.patch_size = np.asarray([999, 999, 999], dtype=np.int64)  # out of range
+    with pytest.raises(Exception):
+        list(pipe.batches(batch_size=4))
+
+
+def test_fallback_env_var(monkeypatch):
+    """TPU_MEDNET_NO_NATIVE forces the numpy path through make_batch_source."""
+    import importlib
+
+    import tpu_mednet.native as nat_mod
+    monkeypatch.setenv("TPU_MEDNET_NO_NATIVE", "1")
+    monkeypatch.setattr(nat_mod, "_lib", None)
+    monkeypatch.setattr(nat_mod, "_load_attempted", False)
+    try:
+        assert not nat_mod.available()
+        s = build_sampler()
+        src = make_batch_source(s)
+        assert src is s
+        batches = list(src.batches(batch_size=4))
+        assert batches and batches[0]["data"].dtype == np.float32
+    finally:
+        monkeypatch.undo()
+        importlib.reload(nat_mod)

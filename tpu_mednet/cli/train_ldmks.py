@@ -122,6 +122,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ),
         hparams=vars(hparams),
         metric_sinks=(neptune_sink,),
+        native_loader=hparams.native_loader,
     )
     trainer.fit(resume=hparams.resume)
     return 0

@@ -119,6 +119,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         sample_visualizer=make_seg_sample_visualizer(hparams.log_vis_mip),
         hparams=vars(hparams),
         metric_sinks=(neptune_sink,),
+        native_loader=hparams.native_loader,
     )
     trainer.fit(resume=hparams.resume)
     return 0

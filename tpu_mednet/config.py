@@ -102,6 +102,15 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--device_sampler", action="store_true",
                         help="keep volumes HBM-resident and gather patches "
                              "on device (DevicePatchSampler)")
+    parser.add_argument("--native_loader", dest="native_loader",
+                        action="store_true", default=None,
+                        help="require the native (C++) batch pipeline "
+                             "(tpu_mednet/native); default: auto-enable "
+                             "when available — batches are byte-identical "
+                             "to the numpy path")
+    parser.add_argument("--no_native_loader", dest="native_loader",
+                        action="store_false",
+                        help="force the numpy batch pipeline")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
 

@@ -56,10 +56,23 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: int = 5,
         metric_sinks=(),
+        native_loader: Optional[bool] = None,
     ):
         self.task = task
-        self.train_sampler = train_sampler
-        self.val_sampler = val_sampler
+        # route host PatchSamplers through the native batch pipeline (fused
+        # C++ crop/convert/transpose + prefetch thread) when it's available;
+        # byte-identical batches, so this is purely a throughput knob.
+        # native_loader: None = auto, False = force numpy, True = require.
+        from tpu_mednet.data.native_loader import make_batch_source
+        from tpu_mednet.data.patch_sampler import PatchSampler
+
+        def route(s):
+            if native_loader is not False and isinstance(s, PatchSampler):
+                return make_batch_source(s, use_native=native_loader)
+            return s
+
+        self.train_sampler = route(train_sampler)
+        self.val_sampler = route(val_sampler) if val_sampler is not None else None
         self.batch_size = batch_size
         self.max_epochs = max_epochs
         self.learning_rate = learning_rate
