@@ -104,6 +104,60 @@ def test_spatial_sharding_forward_consistent():
     np.testing.assert_allclose(y_ref, y_sharded, atol=1e-4)
 
 
+def test_spatial_partitioned_train_step_matches_single_device():
+    """dp x sp TRAIN step (2 data x 4 space) == the 1-device numerics.
+
+    Shards batch AND patch-X over the mesh via train_batch_sharding; XLA
+    must insert conv halo exchanges and GN/loss reductions in forward AND
+    backward.  Includes mirror augmentation (flips of the sharded axis
+    become collective permutes)."""
+    from tpu_mednet.ops.augment import AugmentConfig
+    from tpu_mednet.parallel.mesh import train_batch_sharding
+
+    task = tiny_task()
+    rng = np.random.default_rng(3)
+    batch_np = {
+        "data": rng.normal(size=(4, 16, 8, 8, 1)).astype(np.float32),
+        "label": rng.integers(0, 2, size=(4, 16, 8, 8, 1)).astype(np.uint8),
+    }
+    augment = AugmentConfig(mirror_axes=(1, 2, 3))
+
+    def run(mesh):
+        state = create_train_state(task.model, (4, 16, 8, 8, 1), 1e-2, seed=0)
+        state = jax.device_put(state, replicated(mesh))
+        step = make_train_step(task, augment=augment, donate=False)
+        sharding = train_batch_sharding(mesh)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch_np
+        )
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            losses.append(float(m["train_loss"]))
+        return losses, state
+
+    losses_sp, state_sp = run(make_mesh(n_data=2, n_space=4))
+    losses_1, state_1 = run(make_mesh(n_data=1, n_space=1,
+                                      devices=jax.devices()[:1]))
+    np.testing.assert_allclose(losses_sp, losses_1, rtol=2e-4)
+    p_sp = jax.tree_util.tree_leaves(state_sp.params)[0]
+    p_1 = jax.tree_util.tree_leaves(state_1.params)[0]
+    np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_1), atol=2e-5)
+
+
+def test_trainer_spatial_mesh_validation():
+    """Trainer rejects sp meshes with indivisible patch-X or device samplers."""
+    task = tiny_task()
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(1, 24, 24, 24)).astype(np.float32)
+    reader = MemoryReader({"images": {"s": img},
+                           "labels": {"s": (img > 0.5).astype(np.uint8)}})
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[9, 8, 8], reader=reader, seed=0)
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(task, sampler, batch_size=2, mesh=make_mesh(n_data=2, n_space=4))
+
+
 def test_multitask_data_parallel_train_step():
     """BASELINE config 5 shape: joint seg+landmark multitask, dp mesh."""
     from tpu_mednet.tasks import LandmarkTask

@@ -82,7 +82,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         extra = {"heatmap_group": hparams.heatmap_group}
 
     n_devices = min(hparams.gpus, len(jax.devices())) or 1
-    mesh = make_mesh(n_data=n_devices)
+    n_space = max(hparams.spatial_shards, 1)
+    if n_devices % n_space:
+        raise SystemExit(
+            f"--spatial_shards {n_space} must divide the device count "
+            f"({n_devices})"
+        )
+    mesh = make_mesh(n_data=n_devices // n_space, n_space=n_space)
     if hparams.device_sampler and n_devices > 1:
         # replicate the HBM volume store over the mesh (don't pin device 0)
         from tpu_mednet.parallel.mesh import replicated

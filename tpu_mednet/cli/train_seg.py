@@ -70,7 +70,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     SamplerClass = DevicePatchSampler if hparams.device_sampler else PatchSampler
 
     n_devices = min(hparams.gpus, len(jax.devices())) or 1
-    mesh = make_mesh(n_data=n_devices)
+    n_space = max(hparams.spatial_shards, 1)
+    if n_devices % n_space:
+        raise SystemExit(
+            f"--spatial_shards {n_space} must divide the device count "
+            f"({n_devices})"
+        )
+    mesh = make_mesh(n_data=n_devices // n_space, n_space=n_space)
     # on a multi-device mesh, replicate the HBM volume store so gathered
     # batches don't pin everything to device 0 and reshard every step
     sampler_extra = {}

@@ -102,6 +102,12 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--device_sampler", action="store_true",
                         help="keep volumes HBM-resident and gather patches "
                              "on device (DevicePatchSampler)")
+    parser.add_argument("--spatial_shards", type=int, default=1,
+                        help="partition the patch X axis over this many "
+                             "devices per data-parallel replica (mesh "
+                             "'space' axis; spatially-partitioned training "
+                             "with XLA halo exchange) — for patches too "
+                             "large for one chip")
     parser.add_argument("--native_loader", dest="native_loader",
                         action="store_true", default=None,
                         help="require the native (C++) batch pipeline "

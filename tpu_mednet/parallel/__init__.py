@@ -6,6 +6,7 @@ from tpu_mednet.parallel.mesh import (
     replicated,
     shard_batch,
     spatial_sharding,
+    train_batch_sharding,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "replicated",
     "spatial_sharding",
     "shard_batch",
+    "train_batch_sharding",
 ]

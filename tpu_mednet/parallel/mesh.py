@@ -72,6 +72,21 @@ def spatial_sharding(mesh: Mesh, axis: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def train_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharding for the train/eval step under this mesh.
+
+    dp-only meshes shard just the leading batch axis; with a non-trivial
+    'space' axis the first spatial axis (X of N,X,Y,Z,C) is sharded too —
+    spatially-partitioned TRAINING, where XLA inserts the conv/GN halo
+    exchanges and reductions in both the forward and backward pass.  The
+    conv-net analogue of context/sequence parallelism (SURVEY §2.3(b));
+    lets patches larger than one chip's HBM train across the 'space' axis.
+    """
+    if mesh.shape.get(SPACE_AXIS, 1) > 1:
+        return spatial_sharding(mesh, axis=1)
+    return batch_sharding(mesh)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch with its leading axis sharded over 'data'.
 

@@ -23,7 +23,12 @@ import numpy as np
 
 from tpu_mednet.data.prefetch import device_prefetch
 from tpu_mednet.ops.augment import AugmentConfig
-from tpu_mednet.parallel.mesh import batch_sharding, make_mesh, replicated
+from tpu_mednet.parallel.mesh import (
+    SPACE_AXIS,
+    make_mesh,
+    replicated,
+    train_batch_sharding,
+)
 from tpu_mednet.train.checkpoint import CheckpointManager
 from tpu_mednet.train.state import TrainState, create_train_state, param_count
 from tpu_mednet.train.step import make_eval_step, make_train_step
@@ -87,8 +92,23 @@ class Trainer:
         self._profiling = False
 
         self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
-        self._batch_sharding = batch_sharding(self.mesh)
+        # dp, or dp x sp when the mesh has a non-trivial 'space' axis
+        # (spatially-partitioned training: X axis sharded, XLA halos)
+        self._batch_sharding = train_batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
+        n_space = self.mesh.shape.get(SPACE_AXIS, 1)
+        if n_space > 1:
+            if getattr(train_sampler, "device_resident", False):
+                raise ValueError(
+                    "spatial partitioning requires the host sampler "
+                    "(DevicePatchSampler gathers its own sharding)"
+                )
+            px = int(np.asarray(train_sampler.patch_size)[0])
+            if px % n_space:
+                raise ValueError(
+                    f"patch X extent {px} not divisible by the 'space' "
+                    f"axis ({n_space})"
+                )
 
         self.train_step = make_train_step(task, augment=augment)
         self.eval_step = make_eval_step(task)
