@@ -126,7 +126,10 @@ def add_seg_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--learning_rate", type=float, default=0.001)
     parser.add_argument("--fmaps", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=4)
-    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="accepted for reference parity; the native "
+                             "batch pipeline (one prefetch thread + C++ "
+                             "assembly) replaces the worker pool")
     parser.add_argument("--in_channels", type=int, default=1)
     parser.add_argument("--out_channels", type=int, default=1)
     parser.add_argument("--log_interval", type=int, default=5)
@@ -141,7 +144,10 @@ def add_landmark_model_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--learning_rate", type=float, default=0.001)
     parser.add_argument("--fmaps", type=int, default=64)
     parser.add_argument("--batch_size", type=int, default=4)
-    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--num_workers", type=int, default=4,
+                        help="accepted for reference parity; the native "
+                             "batch pipeline (one prefetch thread + C++ "
+                             "assembly) replaces the worker pool")
     parser.add_argument("--in_channels", type=int, default=1)
     parser.add_argument("--out_channels", type=int, default=1)
     parser.add_argument("--log_interval", type=int, default=5)
