@@ -5,7 +5,8 @@ backward + Adam update, bf16 compute) of the flagship ResidualUNet3D
 (5 levels, f_maps=32 — the model both reference tasks train) on 96^3
 patches, on one real TPU chip.  Runs in z-packed compute mode (identical
 logical math, lanes kept full — docs/PERFORMANCE.md) with selective
-rematerialization at batch 24.
+rematerialization at batch 32 (sweep: 32 > 24 > 28 — batch 28 hits a
+tiling/padding anomaly; docs/PERFORMANCE.md).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -38,7 +39,7 @@ def main():
     from tpu_mednet.train import create_train_state, make_train_step
 
     PATCH = 96
-    BATCH = 24
+    BATCH = 32
     ITERS = 20
     WARMUP = 3
 
