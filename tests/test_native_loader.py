@@ -137,3 +137,20 @@ def test_fallback_env_var(monkeypatch):
     finally:
         monkeypatch.undo()
         importlib.reload(nat_mod)
+
+
+@needs_native
+def test_prefetch_early_abandon_stops_worker():
+    """Breaking out of an epoch mid-iteration must not leak/block the
+    prefetch thread."""
+    import threading
+
+    s = build_sampler()
+    pipe = NativeBatchPipeline(s, prefetch=True)
+    before = {t.name for t in threading.enumerate()}
+    it = pipe.batches(batch_size=2)
+    next(it)
+    it.close()  # GeneratorExit -> finally: stop + drain + join
+    leftover = [t for t in threading.enumerate()
+                if t.name == "tpu-mednet-native-loader" and t.is_alive()]
+    assert not leftover, f"worker still alive (before: {before})"

@@ -199,3 +199,56 @@ def test_resume_epoch_accounting(tmp_path):
     state = t2.fit(resume=model_dir)
     assert t2.start_epoch == 1
     assert int(state.step) == 3 * 2  # total, not 1 + 3 epochs
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-fit: finish the in-flight step, checkpoint, exit cleanly;
+    --resume then continues to the original max_epochs total."""
+    import os
+    import signal
+    import threading
+
+    from tpu_mednet.train.loop import PreemptionGuard
+
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2), loss="CE")
+    model_dir = str(tmp_path / "model")
+
+    trainer = Trainer(task, sampler, batch_size=2, max_epochs=50,
+                      learning_rate=1e-3, model_dir=model_dir)
+    handler_before = signal.getsignal(signal.SIGTERM)
+
+    orig_epoch = trainer.train_epoch
+
+    def epoch_then_sigterm(epoch):
+        out = orig_epoch(epoch)
+        if epoch == 1:  # preempt after 2 full epochs (4 steps)
+            os.kill(os.getpid(), signal.SIGTERM)
+            # the flag must flip before the next epoch's first step
+        return out
+
+    trainer.train_epoch = epoch_then_sigterm
+    state = trainer.fit()  # must RETURN, not die
+    preempt_step = int(state.step)
+    assert 4 <= preempt_step < 100  # far short of max_epochs * 2
+
+    # handler restored after fit
+    assert signal.getsignal(signal.SIGTERM) == handler_before
+
+    # checkpoint at the preempted step exists and resume continues from it
+    trainer2 = Trainer(task, sampler, batch_size=2, max_epochs=3,
+                       learning_rate=1e-3, model_dir=model_dir)
+    state2 = trainer2.init_state(resume=model_dir)
+    assert int(state2.step) == preempt_step
+
+    # second signal during shutdown raises (escape hatch)
+    with PreemptionGuard() as g:
+        os.kill(os.getpid(), signal.SIGTERM)
+        # deliver the first signal
+        threading.Event().wait(0.01)
+        assert g.triggered
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGTERM)
+            threading.Event().wait(0.05)

@@ -163,11 +163,15 @@ class NativeBatchPipeline:
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=1)
+        stop = threading.Event()
+
         # rng draws happen on the worker in the SAME sequence (chunks are
         # processed in order), keeping parity with the sequential path
         def worker():
             try:
                 for chunk in chunks:
+                    if stop.is_set():
+                        return
                     d, l = get_pair()
                     q.put(("ok", self._assemble(chunk, d, l)))
             except BaseException as e:  # surface on the consumer side
@@ -187,7 +191,15 @@ class NativeBatchPipeline:
                     raise payload
                 yield payload
         finally:
-            t.join(timeout=0.1)
+            # consumer may abandon the epoch early (break / GeneratorExit):
+            # unblock a worker stuck in q.put, then let it see `stop`
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.5)
 
 
 def make_batch_source(sampler: PatchSampler,

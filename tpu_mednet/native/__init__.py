@@ -42,6 +42,7 @@ def _build() -> bool:
         return True
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
            str(_SRC), "-o", str(_LIB)]
+    tmp_path = None
     try:
         # build into a temp file then rename: another process may race us
         with tempfile.NamedTemporaryFile(
@@ -55,10 +56,11 @@ def _build() -> bool:
     except (OSError, subprocess.SubprocessError) as e:
         logger.warning("native patchloader build failed (%s); "
                        "falling back to numpy pipeline", e)
-        try:
-            os.unlink(tmp_path)
-        except OSError:
-            pass
+        if tmp_path is not None:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
         return False
 
 

@@ -15,6 +15,8 @@ a plain loop around jit'd steps with
 from __future__ import annotations
 
 import logging
+import signal
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -35,6 +37,50 @@ from tpu_mednet.train.step import make_eval_step, make_train_step
 from tpu_mednet.utils.metrics_logging import MetricsLogger
 
 logger = logging.getLogger(__name__)
+
+
+class PreemptionGuard:
+    """Graceful-preemption handling for long training runs.
+
+    TPU pods are routinely preempted (maintenance, spot reclamation) with a
+    SIGTERM grace window; the reference has no recovery story beyond PL's
+    default checkpointing (SURVEY §5.3).  Installed around ``Trainer.fit``:
+    the FIRST SIGTERM/SIGINT only sets a flag — the loop finishes the
+    in-flight step, saves a checkpoint and returns cleanly, so ``--resume``
+    continues from the preempted step.  A SECOND signal raises
+    ``KeyboardInterrupt`` (escape hatch for interactive use).
+
+    No-op when not on the main thread (signal handlers are main-thread
+    only — e.g. Trainer driven from a test worker).
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self.triggered = False
+        self._signals = signals
+        self._old: Dict[int, object] = {}
+
+    def _on_signal(self, signum, frame):
+        if self.triggered:
+            raise KeyboardInterrupt(f"second signal {signum} during shutdown")
+        self.triggered = True
+        logger.warning(
+            "received signal %d: finishing the in-flight step, then "
+            "checkpointing and exiting (send again to abort hard)", signum,
+        )
+
+    def __enter__(self) -> "PreemptionGuard":
+        if threading.current_thread() is threading.main_thread():
+            for sig in self._signals:
+                try:
+                    self._old[sig] = signal.signal(sig, self._on_signal)
+                except (ValueError, OSError):  # pragma: no cover
+                    pass
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for sig, old in self._old.items():
+            signal.signal(sig, old)
+        self._old.clear()
 
 
 class Trainer:
@@ -90,6 +136,7 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self._profiling = False
+        self._preempt: Optional[PreemptionGuard] = None
 
         self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
         # dp, or dp x sp when the mesh has a non-trivial 'space' axis
@@ -176,6 +223,8 @@ class Trainer:
         t_start = time.perf_counter()
         n_batches = 0
         for batch in batch_iter:
+            if self._preempt is not None and self._preempt.triggered:
+                break
             t0 = time.perf_counter()
             if self.profile_dir and epoch == 0 and n_batches == 1:
                 # skip step 0 (compile), trace a few steady-state steps
@@ -244,11 +293,29 @@ class Trainer:
     def fit(self, resume: Optional[str] = None) -> TrainState:
         if self.state is None:
             self.init_state(resume=resume)
-        for epoch in range(getattr(self, "start_epoch", 0), self.max_epochs):
-            self.train_epoch(epoch)
-            self.val_epoch(epoch)
-            if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:
-                self.ckpt.save(int(self.state.step), self.state, self.hparams)
+        with PreemptionGuard() as guard:
+            self._preempt = guard
+            try:
+                for epoch in range(getattr(self, "start_epoch", 0),
+                                   self.max_epochs):
+                    self.train_epoch(epoch)
+                    if guard.triggered:
+                        # preempted: persist progress so --resume continues
+                        # from this step, then exit cleanly
+                        if self.ckpt:
+                            self.ckpt.save(
+                                int(self.state.step), self.state, self.hparams
+                            )
+                        logger.warning(
+                            "preempted at step %d (epoch %d): checkpoint "
+                            "saved, exiting", int(self.state.step), epoch,
+                        )
+                        break
+                    self.val_epoch(epoch)
+                    if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:
+                        self.ckpt.save(int(self.state.step), self.state, self.hparams)
+            finally:
+                self._preempt = None
         if self.ckpt:
             self.ckpt.wait()
         if self.metrics:
