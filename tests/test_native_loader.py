@@ -154,3 +154,20 @@ def test_prefetch_early_abandon_stops_worker():
     leftover = [t for t in threading.enumerate()
                 if t.name == "tpu-mednet-native-loader" and t.is_alive()]
     assert not leftover, f"worker still alive (before: {before})"
+
+
+@needs_native
+def test_held_batches_never_overwritten():
+    """The refcount-gated pool must NEVER reuse a buffer the consumer still
+    holds: hold every yielded array while iterating, then verify each still
+    equals the snapshot taken at yield time (a reuse would corrupt it)."""
+    s = build_sampler()
+    pipe = NativeBatchPipeline(s, prefetch=True)
+    held, snaps = [], []
+    for b in pipe.batches(batch_size=2, drop_last=False):
+        held.append((b["data"], b["label"]))
+        snaps.append((b["data"].copy(), b["label"].copy()))
+    assert len(held) >= 3
+    for (d, l), (sd, sl) in zip(held, snaps):
+        np.testing.assert_array_equal(d, sd)
+        np.testing.assert_array_equal(l, sl)
