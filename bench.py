@@ -5,7 +5,8 @@ backward + Adam update, bf16 compute) of the flagship ResidualUNet3D
 (5 levels, f_maps=32 — the model both reference tasks train) on 96^3
 patches, on one real TPU chip.  Runs in z-packed compute mode (identical
 logical math, lanes kept full — docs/PERFORMANCE.md) with selective
-rematerialization at batch 32 (sweep: 32 > 24 > 28 — batch 28 hits a
+rematerialization (remat=1: only the level-0 stage — the GN-stats-saving
+policy made deeper-stage recompute a net loss) at batch 32 (sweep: 32 > 24 > 28 — batch 28 hits a
 tiling/padding anomaly; docs/PERFORMANCE.md).
 
 Prints ONE JSON line:
@@ -43,7 +44,7 @@ def main():
     ITERS = 20
     WARMUP = 3
 
-    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=2, packed=True)
+    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=1, packed=True)
     task = SegmentationTask(model=model, loss="DICE")
     mesh = make_mesh(n_data=min(len(jax.devices()), 8))
     n_dev = mesh.shape["data"]
