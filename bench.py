@@ -96,10 +96,12 @@ def main():
         # normalize: baseline measured at same patch size, per-"chip" (CPU host)
         vs_baseline = pps_per_chip / base["train_patches_per_sec"]
 
-    # model FLOP utilization vs the v5e chip's nominal bf16 peak
+    # model FLOP utilization vs the mesh's nominal bf16 peak (per-chip
+    # peak x n_dev: step_flops/dt is aggregate mesh throughput)
     V5E_BF16_PEAK = 197e12
     mfu = (
-        round(step_flops / dt / V5E_BF16_PEAK, 4) if step_flops else None
+        round(step_flops / dt / (V5E_BF16_PEAK * n_dev), 4)
+        if step_flops else None
     )
 
     print(json.dumps({

@@ -135,3 +135,51 @@ def test_final_conv():
     x = jnp.ones((1, 4, 4, 4, 8))
     y = init_apply(FinalConv(out_channels=3), x)
     assert y.shape == (1, 4, 4, 4, 3)
+
+
+def test_torch_init_scheme_matches_layer_defaults():
+    """init_scheme='torch' reproduces torch's Conv3d kernel AND bias
+    distributions: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +)
+    for the kernel and the same bound for the bias (reference models train
+    from torch layer defaults)."""
+    import numpy as np
+
+    from tpu_mednet.models.blocks import ConvLayer
+
+    m = ConvLayer(out_channels=64, order="cr", init_scheme="torch")
+    x = jnp.zeros((1, 8, 8, 8, 16))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]["conv"]
+    fan_in = 16 * 27
+    bound = fan_in ** -0.5
+    k = np.asarray(params["kernel"])
+    b = np.asarray(params["bias"])
+    assert k.shape == (3, 3, 3, 16, 64) and b.shape == (64,)
+    for arr in (k, b):
+        assert np.abs(arr).max() <= bound + 1e-7
+        # uniform, not zeros / not clipped normal: spread fills the range
+        assert np.abs(arr).max() > 0.8 * bound
+        assert np.abs(arr.mean()) < 0.2 * bound
+    # bias must NOT be all zeros (the old kernel-only torch scheme)
+    assert np.abs(b).max() > 0
+
+    # lecun scheme keeps flax defaults (zero bias)
+    m0 = ConvLayer(out_channels=64, order="cr", init_scheme="lecun")
+    p0 = m0.init(jax.random.PRNGKey(0), x)["params"]["conv"]
+    assert np.all(np.asarray(p0["bias"]) == 0)
+
+
+def test_torch_init_transpose_bias_bound():
+    """Transposed-conv bias uses torch's dim-1 fan_in (out_ch * k^3)."""
+    import numpy as np
+
+    from tpu_mednet.models.blocks import DecoderStage
+
+    m = DecoderStage(out_channels=8, block="residual", init_scheme="torch",
+                     num_groups=2)
+    enc = jnp.zeros((1, 8, 8, 8, 8))
+    xdeep = jnp.zeros((1, 4, 4, 4, 16))
+    params = m.init(jax.random.PRNGKey(0), enc, xdeep, train=False)["params"]
+    b = np.asarray(params["upsample"]["bias"])
+    bound = (8 * 27) ** -0.5
+    assert np.abs(b).max() <= bound + 1e-7
+    assert np.abs(b).max() > 0

@@ -219,8 +219,15 @@ class DevicePatchSampler:
             items = self.rng.permutation(items)
         n = len(items)
         stop = (n // batch_size) * batch_size if drop_last else n
-        if stop == 0 and n > 0:  # fewer items than one batch: keep one
-            stop = n
+        if stop == 0 and n > 0:
+            # fewer items than one batch: pad by re-drawing (with
+            # replacement) so the single yielded batch keeps the FULL
+            # batch shape — a partial batch would recompile the jit'd
+            # gather/step for the odd shape (minutes on the remote-compile
+            # TPU) and silently change the effective batch size
+            extra = self.rng.choice(items, size=batch_size - n, replace=True)
+            items = np.concatenate([items, extra])
+            stop = batch_size
         for start in range(0, stop, batch_size):
             subj = items[start:start + batch_size]
             subj_arr, corners = self.sample_indices(len(subj), subj=subj)

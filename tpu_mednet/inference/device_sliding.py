@@ -106,18 +106,27 @@ def make_device_predictor(task, patch_size: Sequence[int],
 
 
 # predictor cache: building a new jit closure per call would recompile
-# (one compile is ~25s over the remote-compile path); key on the task
-# object identity + geometry
-_PREDICTOR_CACHE: Dict = {}
+# (one compile is ~25s over the remote-compile path); keyed per task and
+# evicted when the task is garbage-collected (weakref.finalize; tasks are
+# unhashable dataclasses, so keys are ids) so long-lived processes don't
+# pin dead jit executables
+import weakref
+
+_PREDICTOR_CACHE: Dict[int, Dict] = {}
 
 
 def _cached_predictor(task, patch_size, patch_overlap, batch_size, pad_mode):
-    key = (id(task), patch_size, patch_overlap, batch_size, pad_mode)
-    if key not in _PREDICTOR_CACHE:
-        _PREDICTOR_CACHE[key] = make_device_predictor(
+    tid = id(task)
+    if tid not in _PREDICTOR_CACHE:
+        _PREDICTOR_CACHE[tid] = {}
+        weakref.finalize(task, _PREDICTOR_CACHE.pop, tid, None)
+    per_task = _PREDICTOR_CACHE[tid]
+    key = (patch_size, patch_overlap, batch_size, pad_mode)
+    if key not in per_task:
+        per_task[key] = make_device_predictor(
             task, patch_size, patch_overlap, batch_size, pad_mode=pad_mode
         )
-    return _PREDICTOR_CACHE[key]
+    return per_task[key]
 
 
 def predict_volumes_on_device(

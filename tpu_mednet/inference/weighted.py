@@ -62,7 +62,8 @@ def _weighted_activations(task, variables, patches):
 
 def make_weighted_device_predictor(task, patch_size: Sequence[int],
                                    sigma_scale: float = 0.125,
-                                   pad_mode: str = "constant"):
+                                   pad_mode: str = "constant",
+                                   out_dtype=np.uint8):
     """jit'd (variables, volume, corners, mask, pads) -> stitched volume.
 
     ``corners`` is (n_batches, B, 3) int32 in the padded domain; ``mask``
@@ -70,13 +71,15 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
     accumulation is NOT idempotent, unlike the crop-stitch writes).
     Accumulates ``w*act`` (fp32, n_act channels) and ``w`` (fp32) in HBM,
     then divides, argmaxes the class channels, clips heatmaps to 0..255 and
-    crops — one uint8 download per volume.
+    crops — one ``out_dtype`` download per volume (uint8 by default; the
+    cast matches the host oracle's final ``astype(out_dtype)``).
     """
     from functools import partial
 
     num_heatmaps = getattr(task, "num_heatmaps", 0)
     px, py, pz = (int(v) for v in patch_size)
     window = gaussian_window((px, py, pz), sigma_scale)
+    out_jnp = jnp.dtype(np.dtype(out_dtype))
 
     @partial(jax.jit, static_argnames=("pads",))
     def run(variables, volume, corners, mask, pads):
@@ -132,9 +135,9 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
             cls = jnp.argmax(avg[..., num_heatmaps:], axis=-1)
             out = jnp.concatenate(
                 [hm, cls[..., None].astype(jnp.float32)], axis=-1
-            ).astype(jnp.uint8)
+            ).astype(out_jnp)
         else:
-            out = jnp.argmax(avg, axis=-1)[..., None].astype(jnp.uint8)
+            out = jnp.argmax(avg, axis=-1)[..., None].astype(out_jnp)
         # crop to the input extent on device (pads[k][0] == overlap)
         return out[
             pads[0][0]:pads[0][0] + img_shape[0],
@@ -145,7 +148,13 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
     return run
 
 
-_WEIGHTED_PREDICTOR_CACHE: Dict = {}
+# per-task predictor cache, evicted when the task is garbage-collected
+# (weakref.finalize; tasks are unhashable dataclasses, so keys are ids) —
+# a long-lived process cycling tasks/checkpoints doesn't pin dead jit
+# executables.  Sub-keyed by the static config that shapes the trace.
+import weakref
+
+_WEIGHTED_PREDICTOR_CACHE: Dict[int, Dict] = {}
 
 
 def predict_volumes_weighted_on_device(
@@ -180,12 +189,18 @@ def predict_volumes_weighted_on_device(
     if owns:
         r.close()
 
-    key = (id(task), tuple(patch_size), sigma_scale, pad_mode)
-    if key not in _WEIGHTED_PREDICTOR_CACHE:
-        _WEIGHTED_PREDICTOR_CACHE[key] = make_weighted_device_predictor(
-            task, patch_size, sigma_scale=sigma_scale, pad_mode=pad_mode
+    tid = id(task)
+    if tid not in _WEIGHTED_PREDICTOR_CACHE:
+        _WEIGHTED_PREDICTOR_CACHE[tid] = {}
+        weakref.finalize(task, _WEIGHTED_PREDICTOR_CACHE.pop, tid, None)
+    per_task = _WEIGHTED_PREDICTOR_CACHE[tid]
+    key = (tuple(patch_size), sigma_scale, pad_mode, np.dtype(out_dtype).str)
+    if key not in per_task:
+        per_task[key] = make_weighted_device_predictor(
+            task, patch_size, sigma_scale=sigma_scale, pad_mode=pad_mode,
+            out_dtype=out_dtype,
         )
-    predictor = _WEIGHTED_PREDICTOR_CACHE[key]
+    predictor = per_task[key]
 
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
@@ -211,7 +226,7 @@ def predict_volumes_weighted_on_device(
         core = np.asarray(jax.device_get(predictor(
             variables, vol_dev, jnp.asarray(corners), jnp.asarray(mask), pads
         )))
-        vol_cf = np.moveaxis(core, -1, 0).astype(out_dtype)
+        vol_cf = np.moveaxis(core, -1, 0)
         ds = results.require_dataset(key_, (out_c, *img_size), out_dtype)
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key_]).tolist()

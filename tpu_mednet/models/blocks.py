@@ -116,6 +116,27 @@ def resolve_kernel_init(scheme: str, transpose: bool = False):
     raise ValueError(f"init_scheme must be 'torch' or 'lecun', got {scheme!r}")
 
 
+def resolve_bias_init(scheme: str, fan_in: int):
+    """Bias initializer matching the scheme's layer defaults.
+
+    torch ``nn.Conv3d``/``nn.ConvTranspose3d`` default the bias to
+    ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))`` with the SAME fan_in as the
+    kernel (in_ch*prod(k) for conv, out_ch*prod(k) for transpose — the
+    dim-1 convention); flax ('lecun') defaults to zeros.  The kernel-only
+    version of the torch scheme trained from a measurably different init.
+    """
+    if scheme == "lecun":
+        return nn.initializers.zeros_init()
+    if scheme == "torch":
+        b = float(fan_in) ** -0.5
+
+        def init(key, shape, dtype):
+            return jax.random.uniform(key, shape, dtype, -b, b)
+
+        return init
+    raise ValueError(f"init_scheme must be 'torch' or 'lecun', got {scheme!r}")
+
+
 class ConvLayer(nn.Module):
     """One conv 'layer' described by an order string (e.g. ``'crg'``).
 
@@ -151,6 +172,9 @@ class ConvLayer(nn.Module):
             raise ValueError("packed mode does not support BatchNorm orders")
         for char in self.order:
             if char == "c":
+                bias_init = resolve_bias_init(
+                    self.init_scheme, (x.shape[-1] // zb) * k**3
+                )
                 if zb > 1:
                     from tpu_mednet.models.packed_layers import PackedConv
 
@@ -162,6 +186,7 @@ class ConvLayer(nn.Module):
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         kernel_init=resolve_kernel_init(self.init_scheme),
+                        bias_init=bias_init,
                         name="conv",
                     )(x)
                 else:
@@ -173,6 +198,7 @@ class ConvLayer(nn.Module):
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         kernel_init=resolve_kernel_init(self.init_scheme),
+                        bias_init=bias_init,
                         name="conv",
                     )(x)
             elif char in "rle":
@@ -448,6 +474,9 @@ class DecoderStage(nn.Module):
                     kernel_init=resolve_kernel_init(
                         self.init_scheme, transpose=True
                     ),
+                    bias_init=resolve_bias_init(
+                        self.init_scheme, self.out_channels * k**3
+                    ),
                     name="upsample",
                 )(x)
             else:
@@ -469,6 +498,9 @@ class DecoderStage(nn.Module):
                     param_dtype=self.param_dtype,
                     kernel_init=resolve_kernel_init(
                         self.init_scheme, transpose=True
+                    ),
+                    bias_init=resolve_bias_init(
+                        self.init_scheme, self.out_channels * k**3
                     ),
                     name="upsample",
                 )(x)
@@ -523,6 +555,7 @@ class FinalConv(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=resolve_kernel_init(self.init_scheme),
+            bias_init=resolve_bias_init(self.init_scheme, x.shape[-1]),
             name="final_conv",
         )(x)
         return x

@@ -33,6 +33,7 @@ class PackedConv(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x_packed: jax.Array) -> jax.Array:
@@ -62,7 +63,7 @@ class PackedConv(nn.Module):
         )
         if self.use_bias:
             bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+                "bias", self.bias_init, (self.features,), self.param_dtype
             )
             out = out + jnp.tile(bias.astype(self.dtype), zb)
         return out
@@ -85,6 +86,7 @@ class PackedConvTranspose(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x_packed: jax.Array) -> jax.Array:
@@ -101,7 +103,7 @@ class PackedConvTranspose(nn.Module):
         bias = None
         if self.use_bias:
             bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,),
+                "bias", self.bias_init, (self.features,),
                 self.param_dtype,
             ).astype(self.dtype)
         return packed_conv_transpose3d(

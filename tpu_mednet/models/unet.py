@@ -189,10 +189,10 @@ class UNet3DBase(nn.Module):
             run = run_dec_remat if (n_dec - 1 - i) < remat_k else run_dec
             x = run(stage, enc, x)
 
+        from tpu_mednet.models.blocks import resolve_bias_init, resolve_kernel_init
+
         if packed_io:
             from tpu_mednet.models.packed_layers import PackedConv
-
-            from tpu_mednet.models.blocks import resolve_kernel_init
 
             x = PackedConv(
                 features=cfg.out_channels,
@@ -202,18 +202,20 @@ class UNet3DBase(nn.Module):
                 dtype=cfg.dtype,
                 param_dtype=jnp.float32,
                 kernel_init=resolve_kernel_init(cfg.init_scheme),
+                bias_init=resolve_bias_init(
+                    cfg.init_scheme, x.shape[-1] // zb0
+                ),
                 name="final_conv",
             )(x)
             x = unpack_z(x, zb0)
         else:
-            from tpu_mednet.models.blocks import resolve_kernel_init
-
             x = nn.Conv(
                 features=cfg.out_channels,
                 kernel_size=(1, 1, 1),
                 dtype=cfg.dtype,
                 param_dtype=jnp.float32,
                 kernel_init=resolve_kernel_init(cfg.init_scheme),
+                bias_init=resolve_bias_init(cfg.init_scheme, x.shape[-1]),
                 name="final_conv",
             )(x)
         # fp32 logits: cheap (tiny channel dim) and stabilizes softmax/Dice.

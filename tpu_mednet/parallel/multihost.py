@@ -51,6 +51,20 @@ def maybe_initialize_distributed(
     if process_id is None and env.get("JAX_PROCESS_ID"):
         process_id = int(env["JAX_PROCESS_ID"])
 
+    # fail FAST on a partially-specified multi-process environment: running
+    # on as independent single-host jobs would silently train the full
+    # global batch per process and race on the checkpoint directory
+    partial = [coordinator_address, num_processes, process_id]
+    if any(v is not None and v != "" for v in partial) and not (
+        coordinator_address and num_processes is not None
+        and process_id is not None
+    ):
+        raise ValueError(
+            "incomplete multi-process environment: need ALL of "
+            "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID "
+            f"(got coordinator={coordinator_address!r}, "
+            f"num_processes={num_processes!r}, process_id={process_id!r})"
+        )
     if coordinator_address and num_processes and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
