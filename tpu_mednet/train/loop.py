@@ -150,6 +150,12 @@ class Trainer:
                     "spatial partitioning requires the host sampler "
                     "(DevicePatchSampler gathers its own sharding)"
                 )
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "spatial partitioning (--spatial_shards) is "
+                    "single-process for now: the per-host global-batch "
+                    "assembly shards rows over 'data' only (SURVEY §5.8)"
+                )
             px = int(np.asarray(train_sampler.patch_size)[0])
             if px % n_space:
                 raise ValueError(
