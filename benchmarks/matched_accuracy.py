@@ -27,6 +27,7 @@ from pathlib import Path
 
 import numpy as np
 
+# defaults = the 'tiny' config; --patch/--fmaps/--size scale it up
 PATCH = 32
 N_CLASSES = 3  # bg, sphere, box
 N_HEATMAPS = 2
@@ -35,13 +36,15 @@ FMAPS = 8
 LEVELS = 3
 BATCH = 2
 LR = 1e-3
+SIZE = 48
 
 
 # --------------------------------------------------------------------------
 # shared synthetic dataset + patch schedule (numpy, fully seeded)
 # --------------------------------------------------------------------------
 
-def make_subject(rng, size=48):
+def make_subject(rng, size=None):
+    size = size or SIZE
     """One 48^3 subject: sphere (class 1) + box (class 2) on noise, with a
     landmark at each structure's center."""
     img = rng.normal(0.0, 0.1, size=(size, size, size)).astype(np.float32)
@@ -244,13 +247,20 @@ def summarize(framework, task, steps, train_s, dices, lerrs):
 
 
 def main():
+    global PATCH, FMAPS, SIZE
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["seg", "ldmk", "both"], default="both")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--skip", choices=["torch", "jax", "none"], default="none")
     ap.add_argument("--dtype", default="bfloat16",
                     help="tpu-mednet compute dtype (bfloat16 | float32)")
+    ap.add_argument("--patch", type=int, default=PATCH)
+    ap.add_argument("--fmaps", type=int, default=FMAPS)
+    ap.add_argument("--size", type=int, default=SIZE,
+                    help="synthetic subject volume extent")
     args = ap.parse_args()
+    PATCH, FMAPS, SIZE = args.patch, args.fmaps, args.size
+    non_default = (args.patch, args.fmaps) != (32, 8)
 
     tasks = ["seg", "ldmk"] if args.task == "both" else [args.task]
     out_path = Path(__file__).parent / "matched_accuracy.json"
@@ -258,7 +268,8 @@ def main():
     for task in tasks:
         train, val = make_dataset()
         sched = draw_patch_schedule(train, args.steps)
-        entry = results.setdefault(task, {})
+        key_name = f"{task}_p{PATCH}f{FMAPS}" if non_default else task
+        entry = results.setdefault(key_name, {})
         entry["config"] = {
             "patch": PATCH, "batch": BATCH, "steps": args.steps,
             "fmaps": FMAPS, "levels": LEVELS, "lr": LR,

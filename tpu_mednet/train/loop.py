@@ -4,9 +4,13 @@ TPU-native replacement for the pytorch-lightning ``Trainer`` runtime the
 reference delegates to (`/root/reference/examples/train_seg.py:122-132`):
 a plain loop around jit'd steps with
 
+- the native (C++) batch pipeline when available (byte-identical to the
+  numpy sampler; ``native_loader=False`` to disable),
 - async host->device prefetch (double buffering),
-- replicated params / batch-sharded data over a ``jax.sharding.Mesh``,
+- replicated params / batch-sharded (or dp x sp spatially-partitioned)
+  data over a ``jax.sharding.Mesh``,
 - orbax auto-save + resume (PL's default checkpointing equivalents),
+- graceful-preemption checkpointing (``PreemptionGuard``),
 - TensorBoard/JSONL scalars under the reference's metric names, and
 - optional MIP sample visualization every ``log_interval`` val batches
   (segmentation.py:100-101).
