@@ -47,7 +47,7 @@ def main():
                            packed=True)
     task = SegmentationTask(model=model, loss="DICE")
     x0 = np.zeros((1, args.patch, args.patch, args.patch, 1), np.float32)
-    variables = jax.jit(model.init)(
+    variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x0, train=False
     )
 

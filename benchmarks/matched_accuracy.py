@@ -44,9 +44,9 @@ SIZE = 48
 # --------------------------------------------------------------------------
 
 def make_subject(rng, size=None):
+    """One SIZE^3 subject: sphere (class 1) + box (class 2) on noise, with
+    a landmark at each structure's center."""
     size = size or SIZE
-    """One 48^3 subject: sphere (class 1) + box (class 2) on noise, with a
-    landmark at each structure's center."""
     img = rng.normal(0.0, 0.1, size=(size, size, size)).astype(np.float32)
     lbl = np.zeros((size, size, size), dtype=np.uint8)
 
@@ -259,8 +259,12 @@ def main():
     ap.add_argument("--size", type=int, default=SIZE,
                     help="synthetic subject volume extent")
     args = ap.parse_args()
+    if args.patch > args.size:
+        ap.error(f"--patch {args.patch} must be <= --size {args.size}")
+    defaults = (ap.get_default("patch"), ap.get_default("fmaps"),
+                ap.get_default("size"))
+    non_default = (args.patch, args.fmaps, args.size) != defaults
     PATCH, FMAPS, SIZE = args.patch, args.fmaps, args.size
-    non_default = (args.patch, args.fmaps) != (32, 8)
 
     tasks = ["seg", "ldmk"] if args.task == "both" else [args.task]
     out_path = Path(__file__).parent / "matched_accuracy.json"
@@ -268,11 +272,12 @@ def main():
     for task in tasks:
         train, val = make_dataset()
         sched = draw_patch_schedule(train, args.steps)
-        key_name = f"{task}_p{PATCH}f{FMAPS}" if non_default else task
+        key_name = (f"{task}_p{PATCH}f{FMAPS}s{SIZE}" if non_default
+                    else task)
         entry = results.setdefault(key_name, {})
         entry["config"] = {
             "patch": PATCH, "batch": BATCH, "steps": args.steps,
-            "fmaps": FMAPS, "levels": LEVELS, "lr": LR,
+            "fmaps": FMAPS, "levels": LEVELS, "lr": LR, "size": SIZE,
             "n_classes": N_CLASSES, "n_heatmaps": N_HEATMAPS,
         }
         if args.skip != "torch":

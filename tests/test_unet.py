@@ -110,3 +110,17 @@ def test_unet_jit_compiles_once():
     y1 = fwd(variables, x)
     y2 = fwd(variables, x + 1)
     assert y1.shape == y2.shape
+
+
+def test_factories_honor_num_levels():
+    """num_levels is part of the reference constructor API (model.py:120)
+    and must not be silently swallowed by the factories' **kwargs."""
+    from tpu_mednet.models import ResidualUNet3D, UNet3D
+
+    assert ResidualUNet3D(in_channels=1, out_channels=2, f_maps=8,
+                          num_levels=3).config.num_levels == 3
+    assert UNet3D(in_channels=1, out_channels=2, f_maps=8,
+                  num_levels=2).config.num_levels == 2
+    # defaults match the reference (model.py:11-110 / 113-213)
+    assert UNet3D(in_channels=1, out_channels=2).config.num_levels == 4
+    assert ResidualUNet3D(in_channels=1, out_channels=2).config.num_levels == 5

@@ -18,6 +18,7 @@ only in ``testing`` mode exactly like the reference (model.py:107-108,
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Sequence, Tuple, Union
 
 import jax
@@ -26,6 +27,8 @@ from flax import linen as nn
 
 from tpu_mednet.models.blocks import DecoderStage, EncoderStage
 from tpu_mednet.ops.packed import choose_z_block, pack_z, unpack_z
+
+logger = logging.getLogger(__name__)
 
 Dtype = Any
 
@@ -237,14 +240,18 @@ def UNet3D(
     layer_order: str = "gcr",
     num_groups: int = 8,
     dtype: Any = jnp.bfloat16,
+    num_levels: int = 4,
     **kwargs,
 ) -> UNet3DBase:
     """Vanilla 4-level 3D U-Net (reference model.py:11-110)."""
+    if kwargs:
+        logger.warning("UNet3D: ignoring reference-compat kwargs %s",
+                       sorted(kwargs))
     cfg = UNetConfig(
         in_channels=in_channels,
         out_channels=out_channels,
         f_maps=f_maps,
-        num_levels=4,
+        num_levels=num_levels,
         block="double",
         layer_order=layer_order,
         num_groups=num_groups,
@@ -265,14 +272,18 @@ def ResidualUNet3D(
     dtype: Any = jnp.bfloat16,
     remat=False,
     packed: bool = False,
+    num_levels: int = 5,
     **kwargs,
 ) -> UNet3DBase:
     """Residual 5-level 3D U-Net (reference model.py:113-213)."""
+    if kwargs:
+        logger.warning("ResidualUNet3D: ignoring reference-compat kwargs %s",
+                       sorted(kwargs))
     cfg = UNetConfig(
         in_channels=in_channels,
         out_channels=out_channels,
         f_maps=f_maps,
-        num_levels=5,
+        num_levels=num_levels,
         block="residual",
         layer_order=conv_layer_order,
         num_groups=num_groups,
