@@ -170,3 +170,21 @@ def test_dice_metric_shape():
     labels = jnp.asarray(np.random.default_rng(7).integers(0, 3, size=(2, 4, 4, 4)))
     dm = L.dice_metric(logits, labels)
     assert dm.shape == (3,)
+
+
+def test_weight_length_mismatch_raises_clearly():
+    """A per-class weight of the wrong length (e.g. the reference's 2-class
+    default against a 3-class head) must raise an actionable error, not a
+    broadcast failure deep inside jit."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from tpu_mednet.ops.losses import ce_loss, dice_loss
+
+    logits = jnp.zeros((1, 4, 4, 4, 3))
+    labels = jnp.zeros((1, 4, 4, 4), jnp.int32)
+    w2 = jnp.asarray(np.array([0.05, 1.0], np.float32))
+    for fn in (dice_loss, ce_loss):
+        with pytest.raises(ValueError, match="2 entries.*3 classes"):
+            fn(logits, labels, weight=w2)

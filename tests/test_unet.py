@@ -124,3 +124,22 @@ def test_factories_honor_num_levels():
     # defaults match the reference (model.py:11-110 / 113-213)
     assert UNet3D(in_channels=1, out_channels=2).config.num_levels == 4
     assert ResidualUNet3D(in_channels=1, out_channels=2).config.num_levels == 5
+
+
+def test_residual_rejects_indivisible_patch():
+    """Residual (sum-join) U-Net fails fast on spatial extents that don't
+    survive the pool/up round trip, instead of a broadcast error."""
+    import pytest
+
+    from tpu_mednet.models import UNet3DBase, UNetConfig
+
+    m = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=3,
+        block="residual", layer_order="cge", num_groups=2,
+        dtype=jnp.float32,
+    ))
+    x = jnp.zeros((1, 24, 24, 24, 1))  # 24 % 2^2 == 0 -> ok
+    m.init(jax.random.PRNGKey(0), x, train=False)
+    bad = jnp.zeros((1, 18, 24, 24, 1))  # 18 % 4 != 0
+    with pytest.raises(ValueError, match="divisible by 4"):
+        m.init(jax.random.PRNGKey(0), bad, train=False)

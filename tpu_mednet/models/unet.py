@@ -100,6 +100,20 @@ class UNet3DBase(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         f_maps = cfg.feature_maps
+        # the residual family's sum-join requires every pooled extent to
+        # double back exactly through the stride-2 transposed conv (the
+        # torch reference has the same latent constraint but fails deep in
+        # a broadcast); fail fast with an actionable message instead
+        if cfg.block == "residual":
+            div = 2 ** (len(f_maps) - 1)
+            bad = [int(s) for s in x.shape[1:4] if int(s) % div]
+            if bad:
+                raise ValueError(
+                    f"spatial extents {tuple(map(int, x.shape[1:4]))} must "
+                    f"be divisible by {div} (= 2^(num_levels-1)) for the "
+                    f"{len(f_maps)}-level residual U-Net's sum join; "
+                    "use a larger patch or fewer levels"
+                )
         common = dict(
             block=cfg.block,
             order=cfg.layer_order,

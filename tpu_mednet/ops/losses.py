@@ -76,6 +76,14 @@ def compute_per_channel_dice(
     """
     if probs.shape != target.shape:
         raise ValueError(f"shape mismatch: {probs.shape} vs {target.shape}")
+    if weight is not None and weight.shape[-1] != probs.shape[-1]:
+        # e.g. the reference's 2-class default loss weight against a
+        # 3-class head — fail with the cause, not a broadcast error
+        raise ValueError(
+            f"per-class weight has {weight.shape[-1]} entries but the loss "
+            f"sees {probs.shape[-1]} classes (check --loss_weight / "
+            "--loss_class_weight against out_channels)"
+        )
     probs = probs.astype(jnp.float32)
     target = target.astype(jnp.float32)
     if ignore_index is not None:
@@ -142,6 +150,12 @@ def ce_loss(
     ``weight`` rescales each class's contribution and the mean is normalized
     by the total weight of contributing voxels, matching torch's weighted CE.
     """
+    if weight is not None and jnp.shape(weight)[-1] != logits.shape[-1]:
+        raise ValueError(
+            f"per-class weight has {jnp.shape(weight)[-1]} entries but the "
+            f"loss sees {logits.shape[-1]} classes (check --loss_weight / "
+            "--loss_class_weight against out_channels)"
+        )
     if double_softmax:
         logits = jax.nn.softmax(logits, axis=-1)
     labels = labels.astype(jnp.int32)
