@@ -152,6 +152,7 @@ def run_torch(task, train, val, sched, steps):
     torch.manual_seed(0)
     out_ch = N_CLASSES + (N_HEATMAPS if task == "ldmk" else 0)
     model = TorchResidualUNet3D(in_ch=1, out_ch=out_ch, f=FMAPS, levels=LEVELS)
+    n_params = sum(p.numel() for p in model.parameters())
     opt = torch.optim.Adam(model.parameters(), lr=LR)
 
     t0 = time.perf_counter()
@@ -179,7 +180,8 @@ def run_torch(task, train, val, sched, steps):
             dices.append(dice_per_channel(mask, lbl[0]))
             if task == "ldmk":
                 lerrs += landmark_error(logits[:N_HEATMAPS], lm)
-    return summarize("torch-cpu", task, steps, train_s, dices, lerrs)
+    return summarize("torch-cpu", task, steps, train_s, dices, lerrs,
+                     n_params=n_params)
 
 
 # --------------------------------------------------------------------------
@@ -206,6 +208,8 @@ def run_jax(task, train, val, sched, steps, dtype="bfloat16"):
         t = SegmentationTask(model=model, loss="DICE")
     step = make_train_step(t)
     state = create_train_state(model, (BATCH, PATCH, PATCH, PATCH, 1), LR, seed=0)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
 
     t0 = time.perf_counter()
     for data, label in batches(train, sched, task):
@@ -226,15 +230,16 @@ def run_jax(task, train, val, sched, steps, dtype="bfloat16"):
             lerrs += landmark_error(logits[:N_HEATMAPS], lm)
     backend = jax.default_backend()
     return summarize(f"tpu-mednet-{backend}-{dtype}", task, steps, train_s,
-                     dices, lerrs)
+                     dices, lerrs, n_params=n_params)
 
 
-def summarize(framework, task, steps, train_s, dices, lerrs):
+def summarize(framework, task, steps, train_s, dices, lerrs, n_params=None):
     d = np.mean(np.asarray(dices), axis=0)
     res = {
         "framework": framework,
         "task": task,
         "steps": steps,
+        "n_params": n_params,
         "train_seconds": round(train_s, 2),
         "patches_per_sec": round(steps * BATCH / train_s, 3),
         "val_dice_per_channel": [round(float(v), 4) for v in d],
@@ -247,7 +252,7 @@ def summarize(framework, task, steps, train_s, dices, lerrs):
 
 
 def main():
-    global PATCH, FMAPS, SIZE
+    global PATCH, FMAPS, SIZE, LEVELS
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["seg", "ldmk", "both"], default="both")
     ap.add_argument("--steps", type=int, default=600)
@@ -256,15 +261,18 @@ def main():
                     help="tpu-mednet compute dtype (bfloat16 | float32)")
     ap.add_argument("--patch", type=int, default=PATCH)
     ap.add_argument("--fmaps", type=int, default=FMAPS)
+    ap.add_argument("--levels", type=int, default=LEVELS)
     ap.add_argument("--size", type=int, default=SIZE,
                     help="synthetic subject volume extent")
     args = ap.parse_args()
     if args.patch > args.size:
         ap.error(f"--patch {args.patch} must be <= --size {args.size}")
+    if args.patch < 2 ** (args.levels - 1):
+        ap.error(f"--patch {args.patch} too small for --levels {args.levels}")
     defaults = (ap.get_default("patch"), ap.get_default("fmaps"),
-                ap.get_default("size"))
-    non_default = (args.patch, args.fmaps, args.size) != defaults
-    PATCH, FMAPS, SIZE = args.patch, args.fmaps, args.size
+                ap.get_default("size"), ap.get_default("levels"))
+    non_default = (args.patch, args.fmaps, args.size, args.levels) != defaults
+    PATCH, FMAPS, SIZE, LEVELS = args.patch, args.fmaps, args.size, args.levels
 
     tasks = ["seg", "ldmk"] if args.task == "both" else [args.task]
     out_path = Path(__file__).parent / "matched_accuracy.json"
@@ -272,7 +280,7 @@ def main():
     for task in tasks:
         train, val = make_dataset()
         sched = draw_patch_schedule(train, args.steps)
-        key_name = (f"{task}_p{PATCH}f{FMAPS}s{SIZE}" if non_default
+        key_name = (f"{task}_p{PATCH}f{FMAPS}s{SIZE}l{LEVELS}" if non_default
                     else task)
         entry = results.setdefault(key_name, {})
         entry["config"] = {

@@ -14,7 +14,13 @@ from tpu_mednet.ops.heatmap import (
     heatmap_argmax_coords,
 )
 from tpu_mednet.utils.misc import log_level_string_to_int
-from tpu_mednet.utils.nifti import load_nifti, save_nifti
+from tpu_mednet.utils.nifti import (
+    load_nifti,
+    lps_affine_from_meta,
+    ras_affine_from_meta,
+    save_nifti,
+    sitk_make_affine,
+)
 from tpu_mednet.utils.plots import (
     make_grid,
     vis_logheatmaps,
@@ -144,6 +150,108 @@ def test_plot_functions_return_figures():
     assert fig is not None
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+# --------------------------------------------------------------------------
+# ITK (LPS) -> NIfTI (RAS) affine construction — golden-tested without
+# SimpleITK (reference: midasmednet/utils/nifti.py:39-54 make_affine).
+# --------------------------------------------------------------------------
+
+
+class _FakeSitkImage:
+    """Duck-typed stand-in exposing the SimpleITK.Image metadata getters
+    used by ``sitk_make_affine`` (direction as the row-major flat 9-tuple,
+    exactly like ``SimpleITK.Image.GetDirection()``)."""
+
+    def __init__(self, direction, spacing, origin):
+        self._d = tuple(np.asarray(direction, np.float64).reshape(9))
+        self._s = tuple(float(v) for v in spacing)
+        self._o = tuple(float(v) for v in origin)
+
+    def GetDirection(self):
+        return self._d
+
+    def GetSpacing(self):
+        return self._s
+
+    def GetOrigin(self):
+        return self._o
+
+    def TransformContinuousIndexToPhysicalPoint(self, idx):
+        # ITK semantics: point = origin + D @ (spacing * idx)
+        d = np.asarray(self._d).reshape(3, 3)
+        return tuple(np.asarray(self._o) + d @ (np.asarray(self._s) * np.asarray(idx, np.float64)))
+
+
+def _reference_make_affine(img):
+    """The reference's probe-unit-index-steps construction
+    (midasmednet/utils/nifti.py:39-54), reimplemented verbatim in the test
+    as an independent oracle for the metadata-based build."""
+    c = np.array([img.TransformContinuousIndexToPhysicalPoint(p)
+                  for p in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0))])
+    affine = np.concatenate(
+        [np.concatenate([c[0:3] - c[3:], c[3:]], axis=0),
+         [[0.0], [0.0], [0.0], [1.0]]], axis=1).T
+    return np.diag([-1.0, -1.0, 1.0, 1.0]) @ affine
+
+
+def test_affine_identity_meta():
+    # identity direction, unit spacing, zero origin: LPS affine is I;
+    # RAS affine just flips the x/y rows.
+    lps = lps_affine_from_meta(np.eye(3), (1, 1, 1), (0, 0, 0))
+    np.testing.assert_allclose(lps, np.eye(4))
+    ras = ras_affine_from_meta(np.eye(3), (1, 1, 1), (0, 0, 0))
+    np.testing.assert_allclose(ras, np.diag([-1.0, -1.0, 1.0, 1.0]))
+
+
+def test_affine_anisotropic_spacing_and_origin():
+    # hand-computed: columns scale by spacing, translation = +-origin.
+    ras = ras_affine_from_meta(np.eye(3), (1.0, 2.0, 3.5), (10.0, -20.0, 30.0))
+    expected = np.array([
+        [-1.0, 0.0, 0.0, -10.0],
+        [0.0, -2.0, 0.0, 20.0],
+        [0.0, 0.0, 3.5, 30.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    np.testing.assert_allclose(ras, expected)
+
+
+def test_affine_rotated_direction():
+    # 90-degree rotation about z in LPS: index +x steps along physical +y.
+    rot = np.array([[0.0, -1.0, 0.0],
+                    [1.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.0]])
+    ras = ras_affine_from_meta(rot, (2.0, 2.0, 1.0), (5.0, 6.0, 7.0))
+    expected = np.array([
+        [0.0, 2.0, 0.0, -5.0],
+        [-2.0, 0.0, 0.0, -6.0],
+        [0.0, 0.0, 1.0, 7.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    np.testing.assert_allclose(ras, expected, atol=1e-12)
+
+
+@pytest.mark.parametrize("direction,spacing,origin", [
+    (np.eye(3), (1, 1, 1), (0, 0, 0)),
+    (np.eye(3), (0.5, 0.5, 2.0), (-12.25, 3.5, 99.0)),
+    (np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]),
+     (2.0, 3.0, 4.0), (1.0, 2.0, 3.0)),
+    # oblique direction (normalized columns, not axis-aligned)
+    (np.array([[0.8, -0.6, 0.0], [0.6, 0.8, 0.0], [0.0, 0.0, 1.0]]),
+     (1.0, 1.5, 2.5), (-7.0, 11.0, 0.5)),
+])
+def test_sitk_make_affine_matches_reference_probe(direction, spacing, origin):
+    """``sitk_make_affine`` (metadata build) equals the reference's
+    unit-index-probe construction for identity, anisotropic, rotated and
+    oblique geometries — executed via a duck-typed image, no SimpleITK."""
+    img = _FakeSitkImage(direction, spacing, origin)
+    ours = sitk_make_affine(img)
+    oracle = _reference_make_affine(img)
+    np.testing.assert_allclose(ours, oracle, atol=1e-12)
+    # the affine maps index (0,0,0) to the RAS-flipped origin
+    np.testing.assert_allclose(
+        ours @ np.array([0.0, 0.0, 0.0, 1.0]),
+        np.array([-origin[0], -origin[1], origin[2], 1.0]), atol=1e-12)
 
 
 def test_log_level_string_to_int():

@@ -116,25 +116,53 @@ def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
     return data, affine
 
 
+def lps_affine_from_meta(direction, spacing, origin) -> np.ndarray:
+    """Index->physical (LPS) affine from ITK-style image metadata.
+
+    ITK's index->point map is ``point = origin + D @ diag(spacing) @ idx``
+    with ``D`` the direction-cosine matrix — the same map the reference's
+    ``make_affine`` (utils/nifti.py:39-54) probes one unit index step at a
+    time via ``TransformContinuousIndexToPhysicalPoint``.
+
+    ``direction`` may be a (3, 3) matrix or the flat row-major 9-tuple that
+    ``SimpleITK.Image.GetDirection()`` returns.
+    """
+    direction = np.asarray(direction, dtype=np.float64).reshape(3, 3)
+    spacing = np.asarray(spacing, dtype=np.float64).reshape(3)
+    origin = np.asarray(origin, dtype=np.float64).reshape(3)
+    affine = np.eye(4)
+    affine[:3, :3] = direction * spacing[None, :]
+    affine[:3, 3] = origin
+    return affine
+
+
+_LPS_TO_RAS = np.diag([-1.0, -1.0, 1.0, 1.0])
+
+
+def ras_affine_from_meta(direction, spacing, origin) -> np.ndarray:
+    """RAS (NIfTI-convention) affine from ITK-style (LPS) metadata.
+
+    The reference flips the x/y rows after building the LPS affine
+    (``make_affine``'s final ``np.matmul(np.diag([-1,-1,1,1]), affine)``,
+    utils/nifti.py:53); same here.
+    """
+    return _LPS_TO_RAS @ lps_affine_from_meta(direction, spacing, origin)
+
+
 def sitk_make_affine(simpleitk_image) -> np.ndarray:
     """Build the RAS affine from a SimpleITK (LPS) image.
 
     Same construction as the reference ``make_affine``
     (utils/nifti.py:39-54): map corner index->physical point, then flip
-    x/y for the LPS->RAS convention change.
+    x/y for the LPS->RAS convention change.  The affine itself is built by
+    :func:`ras_affine_from_meta`, which is golden-tested without SimpleITK
+    (tests/test_utils.py); probing unit index steps through
+    ``TransformContinuousIndexToPhysicalPoint`` like the reference does is
+    exactly ``origin + D @ diag(spacing) @ e_i``.
     """
-    import numpy as np
-
     img = simpleitk_image
-    c = [img.TransformContinuousIndexToPhysicalPoint(p)
-         for p in ((1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0))]
-    c = np.array(c)
-    affine = np.concatenate([
-        np.concatenate([c[0:3] - c[3:], c[3:]], axis=0),
-        [[0.0], [0.0], [0.0], [1.0]],
-    ], axis=1)
-    affine = np.transpose(affine)
-    return np.matmul(np.diag([-1.0, -1.0, 1.0, 1.0]), affine)
+    return ras_affine_from_meta(img.GetDirection(), img.GetSpacing(),
+                                img.GetOrigin())
 
 
 def sitk_to_nifti(simpleitk_image, out_path) -> None:
