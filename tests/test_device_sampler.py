@@ -242,3 +242,26 @@ def test_device_sampler_epoch_semantics():
     # drop_last=True drops it
     n_items = [b["data"].shape[0] for b in ds.batches(3, drop_last=True)]
     assert sum(n_items) == 6
+
+
+def test_device_sampler_oversample_warns_once(caplog):
+    """When an epoch has fewer items than one batch, the with-replacement
+    padding must be visible: a one-time warning naming the redraw count."""
+    import logging
+
+    ds = DevicePatchSampler(
+        None, ["s0"], samples_per_subject=2, patch_size=[8, 8, 8],
+        reader=make_reader(), image_dtype=jnp.float32, seed=0,
+    )
+    with caplog.at_level(logging.WARNING, logger="tpu_mednet.data.device_sampler"):
+        batches = list(ds.batches(6))
+        assert len(batches) == 1
+        assert batches[0]["data"].shape[0] == 6  # full batch, padded
+        warns = [r for r in caplog.records
+                 if "re-drawing" in r.getMessage()]
+        assert len(warns) == 1 and "4 samples" in warns[0].getMessage()
+        # second epoch: no repeat warning
+        list(ds.batches(6))
+        warns = [r for r in caplog.records
+                 if "re-drawing" in r.getMessage()]
+        assert len(warns) == 1

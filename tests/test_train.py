@@ -119,6 +119,53 @@ def test_load_for_inference(tmp_path):
     variables, hparams = load_for_inference(model_dir, template)
     assert "params" in variables
     assert hparams["fmaps"] == 8
+    # public JSON-only hparams restore — no state template, no weights read
+    mgr = CheckpointManager(model_dir)
+    try:
+        hp = mgr.restore_hparams()
+        assert hp["fmaps"] == 8
+        # format version auto-stamped at save time (upsample geometry tag)
+        from tpu_mednet.train.checkpoint import CKPT_FORMAT
+        assert hp["ckpt_format"] == CKPT_FORMAT
+    finally:
+        mgr.close()
+
+
+def test_ckpt_format_checks(tmp_path, caplog):
+    import logging as _logging
+
+    import pytest as _pytest
+
+    from tpu_mednet.train.checkpoint import check_ckpt_format
+
+    # legacy checkpoint (no tag): one warning, no failure
+    with caplog.at_level(_logging.WARNING, logger="tpu_mednet.train.checkpoint"):
+        check_ckpt_format({"fmaps": 8}, tmp_path)
+    assert any("ckpt_format" in r.getMessage() for r in caplog.records)
+    # newer-than-this-build format: refuse
+    with _pytest.raises(ValueError, match="format 99"):
+        check_ckpt_format({"ckpt_format": 99}, tmp_path)
+    # current format: silent
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING, logger="tpu_mednet.train.checkpoint"):
+        check_ckpt_format({"ckpt_format": 2}, tmp_path)
+        check_ckpt_format(None, tmp_path)
+    assert not caplog.records
+
+
+def test_restore_hparams_missing_sidecar(tmp_path):
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=2,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2))
+    model_dir = str(tmp_path / "model")
+    # no hparams= passed: checkpoint has no side-car
+    Trainer(task, sampler, batch_size=2, max_epochs=1, model_dir=model_dir).fit()
+    mgr = CheckpointManager(model_dir)
+    try:
+        assert mgr.restore_hparams() is None
+    finally:
+        mgr.close()
 
 
 def test_landmark_task_train_step():

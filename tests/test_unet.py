@@ -126,6 +126,23 @@ def test_factories_honor_num_levels():
     assert ResidualUNet3D(in_channels=1, out_channels=2).config.num_levels == 5
 
 
+def test_factories_reject_unknown_kwargs():
+    """Typoed/unsupported kwargs must raise, not warn-and-train-defaults;
+    only the reference's construction-time 'testing' flag (model.py:32,74)
+    is warn-ignored."""
+    import pytest
+
+    from tpu_mednet.models import ResidualUNet3D, UNet3D
+
+    with pytest.raises(TypeError, match="num_group"):
+        ResidualUNet3D(in_channels=1, out_channels=2, num_group=4)  # typo
+    with pytest.raises(TypeError, match="fmaps"):
+        UNet3D(in_channels=1, out_channels=2, fmaps=8)  # typo of f_maps
+    # known compat kwarg still accepted (apply()-time concern here)
+    m = ResidualUNet3D(in_channels=1, out_channels=2, testing=True)
+    assert m.config.num_levels == 5
+
+
 def test_residual_rejects_indivisible_patch():
     """Residual (sum-join) U-Net fails fast on spatial extents that don't
     survive the pool/up round trip, instead of a broadcast error."""

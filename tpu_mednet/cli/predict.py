@@ -81,24 +81,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # hparams are needed to size the real template; read them via a cheap
     # JSON-only restore path
     from tpu_mednet.train.checkpoint import CheckpointManager
-    import orbax.checkpoint as ocp
     mgr = CheckpointManager(checkpoint_path)
-    step = mgr.latest_step
-    if step is None:
-        raise FileNotFoundError(f"no checkpoint found in {checkpoint_path}")
     try:
-        items = set(mgr._mgr.item_metadata(step).keys())
-    except Exception:
-        items = {"hparams"}
-    if "hparams" not in items:
+        hp_restored = mgr.restore_hparams()
+    finally:
+        mgr.close()
+    if hp_restored is None:
         raise ValueError(
             f"checkpoint at {checkpoint_path} has no hparams side-car; "
             "predict needs the training hparams to rebuild the model"
         )
-    hp_restored = mgr._mgr.restore(
-        step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
-    )["hparams"]
-    mgr.close()
     hparams = types.SimpleNamespace(**{
         k: _coerce(v) for k, v in (hp_restored or {}).items()
     })

@@ -172,6 +172,7 @@ class DevicePatchSampler:
             return {"data": data, "label": label}
 
         self._gather = jax.jit(gather, static_argnames=())
+        self._oversample_warned = False
 
     def __len__(self) -> int:
         return len(self.subject_keys) * self.samples_per_subject
@@ -225,6 +226,14 @@ class DevicePatchSampler:
             # batch shape — a partial batch would recompile the jit'd
             # gather/step for the odd shape (minutes on the remote-compile
             # TPU) and silently change the effective batch size
+            if not self._oversample_warned:
+                logger.warning(
+                    "epoch has %d items (< batch_size %d): padding the batch "
+                    "by re-drawing %d samples with replacement — epoch "
+                    "composition diverges from subjects x samples_per_subject",
+                    n, batch_size, batch_size - n,
+                )
+                self._oversample_warned = True
             extra = self.rng.choice(items, size=batch_size - n, replace=True)
             items = np.concatenate([items, extra])
             stop = batch_size

@@ -63,6 +63,10 @@ class NativeBatchPipeline:
 
     # -- index drawing (mirrors PatchSampler.sample minus the array work) --
 
+    class _EpochAbandoned(BaseException):
+        """Internal: the consumer abandoned the epoch; the prefetch worker
+        unwinds without touching the sampler rng again."""
+
     def _draw(self, idx: int):
         s = self.sampler
         idx = idx % len(s.images)
@@ -83,10 +87,17 @@ class NativeBatchPipeline:
         )
         return idx, ini, selected_class
 
-    def _assemble(self, chunk, out_data, out_label):
+    def _assemble(self, chunk, out_data, out_label, should_stop=None):
         s = self.sampler
         n = len(chunk)
-        draws = [self._draw(int(i)) for i in chunk]
+        draws = []
+        for i in chunk:
+            # the sampler rng is shared with the caller's next-epoch shuffle
+            # and is NOT thread-safe: stop drawing the moment the consumer
+            # abandons the epoch (teardown then joins before touching rng)
+            if should_stop is not None and should_stop():
+                raise self._EpochAbandoned
+            draws.append(self._draw(int(i)))
         corners = np.stack([d[1] for d in draws]).astype(np.int64)
         subj = [d[0] for d in draws]
         native.assemble_batch(
@@ -173,7 +184,10 @@ class NativeBatchPipeline:
                     if stop.is_set():
                         return
                     d, l = get_pair()
-                    q.put(("ok", self._assemble(chunk, d, l)))
+                    q.put(("ok", self._assemble(chunk, d, l,
+                                                should_stop=stop.is_set)))
+            except self._EpochAbandoned:
+                return
             except BaseException as e:  # surface on the consumer side
                 q.put(("err", e))
             else:
@@ -192,14 +206,19 @@ class NativeBatchPipeline:
                 yield payload
         finally:
             # consumer may abandon the epoch early (break / GeneratorExit):
-            # unblock a worker stuck in q.put, then let it see `stop`
+            # unblock a worker stuck in q.put, then let it see `stop`.
+            # Join WITHOUT timeout: the caller reuses the sampler rng for
+            # the next epoch's shuffle right after this returns, so the
+            # worker must be fully finished (it checks `stop` before every
+            # draw, and the GIL-released native call is short — bounded
+            # wait in practice)
             stop.set()
             try:
                 while True:
                     q.get_nowait()
             except queue.Empty:
                 pass
-            t.join(timeout=0.5)
+            t.join()
 
 
 def make_batch_source(sampler: PatchSampler,

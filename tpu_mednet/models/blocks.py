@@ -424,7 +424,9 @@ class DecoderStage(nn.Module):
       spatial size, then channel **concatenation** (components.py:275-280).
     - ``'residual'`` block: learned transposed conv (kernel 3, stride = scale
       factor; torch geometry padding=1/output_padding=1, i.e. output size =
-      2x input — realized here as a stride-2 SAME ConvTranspose), then
+      2x input — realized here as a stride-2 ConvTranspose with explicit
+      per-axis (1, 2) padding so the output phase matches torch's; flax
+      'SAME' is shifted +1 and would misalign the skip-sum), then
       **summation** join (components.py:259-266,281-284).
     """
 

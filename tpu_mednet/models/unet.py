@@ -246,6 +246,29 @@ class UNet3DBase(nn.Module):
         return x
 
 
+# construction-time kwargs the reference models accept but that are
+# call-time concerns here: 'testing' toggles the final activation at
+# apply() time (reference model.py:32,74 reads it from **kwargs)
+_COMPAT_KWARGS = frozenset({"testing"})
+
+
+def _check_compat_kwargs(name: str, kwargs: dict) -> None:
+    """Warn-ignore known reference-compat kwargs; raise on anything else
+    so a typoed or unsupported argument cannot silently train defaults."""
+    unknown = set(kwargs) - _COMPAT_KWARGS
+    if unknown:
+        raise TypeError(
+            f"{name}: unknown keyword arguments {sorted(unknown)} "
+            f"(known reference-compat kwargs: {sorted(_COMPAT_KWARGS)})"
+        )
+    if kwargs:
+        logger.warning(
+            "%s: ignoring reference-compat construction kwargs %s "
+            "('testing' is an apply()-time argument here)",
+            name, sorted(kwargs),
+        )
+
+
 def UNet3D(
     in_channels: int,
     out_channels: int,
@@ -258,9 +281,7 @@ def UNet3D(
     **kwargs,
 ) -> UNet3DBase:
     """Vanilla 4-level 3D U-Net (reference model.py:11-110)."""
-    if kwargs:
-        logger.warning("UNet3D: ignoring reference-compat kwargs %s",
-                       sorted(kwargs))
+    _check_compat_kwargs("UNet3D", kwargs)
     cfg = UNetConfig(
         in_channels=in_channels,
         out_channels=out_channels,
@@ -290,9 +311,7 @@ def ResidualUNet3D(
     **kwargs,
 ) -> UNet3DBase:
     """Residual 5-level 3D U-Net (reference model.py:113-213)."""
-    if kwargs:
-        logger.warning("ResidualUNet3D: ignoring reference-compat kwargs %s",
-                       sorted(kwargs))
+    _check_compat_kwargs("ResidualUNet3D", kwargs)
     cfg = UNetConfig(
         in_channels=in_channels,
         out_channels=out_channels,

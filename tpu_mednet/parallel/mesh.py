@@ -17,11 +17,14 @@ inserts the collectives.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
@@ -112,7 +115,23 @@ def shard_subject_keys(keys: Sequence[str],
     the global batch is assembled from per-host local batches — the
     "per-host sharded zarr patch streaming" of BASELINE config 5 and
     SURVEY §5.8.  Defaults to jax's process env (single-host => identity).
+
+    When ``len(keys)`` does not divide evenly, the trailing remainder is
+    DROPPED (with a warning) so every process gets the same share: unequal
+    per-host sampler lengths would give hosts different per-epoch batch
+    counts, and the host with more batches would block forever in the
+    global-batch collective while the others move on.
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    keys = list(keys)
+    rem = len(keys) % pc
+    if pc > 1 and rem:
+        logger.warning(
+            "dropping %d of %d subject keys so all %d processes get an "
+            "equal share (%d each) — unequal per-host epoch lengths would "
+            "deadlock the cross-host collectives",
+            rem, len(keys), pc, len(keys) // pc,
+        )
+        keys = keys[: len(keys) - rem]
     return [k for i, k in enumerate(keys) if i % pc == pi]

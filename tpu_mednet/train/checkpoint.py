@@ -11,12 +11,42 @@ step and the hparams bundle are saved together.
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import orbax.checkpoint as ocp
 
 from tpu_mednet.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+# Checkpoint format version, stored in the hparams side-car.  Bumped when a
+# semantics change leaves param SHAPES intact but reinterprets the weights:
+#   2: decoder upsample moved from flax-'SAME' ConvTranspose padding to the
+#      torch-phase explicit (1, 2) padding (models/blocks.py DecoderStage)
+#      — a format-1 checkpoint restores cleanly but upsamples spatially
+#      shifted by one voxel.
+CKPT_FORMAT = 2
+
+
+def check_ckpt_format(hparams: Optional[Dict], directory) -> None:
+    """Warn on checkpoints predating the format tag; refuse newer ones."""
+    if hparams is None:
+        return
+    v = hparams.get("ckpt_format")
+    if v is None:
+        logger.warning(
+            "checkpoint at %s carries no ckpt_format tag: it predates the "
+            "torch-phase decoder-upsample change (format 2). If it was "
+            "trained on the old 'SAME'-padded upsample, the restored "
+            "decoder will be spatially shifted by one voxel.", directory,
+        )
+    elif int(v) > CKPT_FORMAT:
+        raise ValueError(
+            f"checkpoint at {directory} has format {v}, newer than this "
+            f"build's {CKPT_FORMAT}; upgrade tpu-mednet to restore it"
+        )
 
 
 class CheckpointManager:
@@ -36,7 +66,9 @@ class CheckpointManager:
              hparams: Optional[Dict[str, Any]] = None) -> None:
         args = {"state": ocp.args.StandardSave(state)}
         if hparams is not None:
-            args["hparams"] = ocp.args.JsonSave(_jsonable(hparams))
+            hp = _jsonable(hparams)
+            hp.setdefault("ckpt_format", CKPT_FORMAT)
+            args["hparams"] = ocp.args.JsonSave(hp)
         self._mgr.save(step, args=ocp.args.Composite(**args))
 
     def wait(self) -> None:
@@ -46,21 +78,47 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template: TrainState,
-                step: Optional[int] = None) -> Tuple[TrainState, Optional[Dict]]:
-        """Restore (state, hparams) at ``step`` (default: latest)."""
+    def _resolve_step(self, step: Optional[int]) -> int:
         step = step if step is not None else self.latest_step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")
-        args = {"state": ocp.args.StandardRestore(state_template)}
+        return step
+
+    def _items_at(self, step: int) -> set:
         try:
-            items = set(self._mgr.item_metadata(step).keys())
+            return set(self._mgr.item_metadata(step).keys())
         except Exception:
-            items = {"state", "hparams"}
-        if "hparams" in items:
+            return {"state", "hparams"}
+
+    def restore(self, state_template: TrainState,
+                step: Optional[int] = None) -> Tuple[TrainState, Optional[Dict]]:
+        """Restore (state, hparams) at ``step`` (default: latest)."""
+        step = self._resolve_step(step)
+        args = {"state": ocp.args.StandardRestore(state_template)}
+        if "hparams" in self._items_at(step):
             args["hparams"] = ocp.args.JsonRestore()
         restored = self._mgr.restore(step, args=ocp.args.Composite(**args))
-        return restored["state"], restored.get("hparams")
+        hparams = restored.get("hparams")
+        check_ckpt_format(hparams, self.directory)
+        return restored["state"], hparams
+
+    def restore_hparams(self, step: Optional[int] = None) -> Optional[Dict]:
+        """Restore only the hparams side-car at ``step`` (default: latest).
+
+        A cheap JSON-only read — no weights are touched, so no state
+        template is needed.  Returns ``None`` when the checkpoint carries
+        no hparams (the public replacement for reaching into orbax
+        internals from ``cli/predict.py``).
+        """
+        step = self._resolve_step(step)
+        if "hparams" not in self._items_at(step):
+            return None
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
+        )
+        hparams = restored.get("hparams")
+        check_ckpt_format(hparams, self.directory)
+        return hparams
 
     def close(self) -> None:
         self._mgr.close()
