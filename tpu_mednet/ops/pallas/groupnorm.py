@@ -109,6 +109,17 @@ def lane_moments_pallas(x: Array, interpret: bool = False
 
 
 def _lane_moments_xla(x: Array) -> Tuple[Array, Array]:
+    import os
+
+    if os.environ.get("TPU_MEDNET_GN_STATS") == "bf16":
+        # experimental lever (docs/PERFORMANCE.md round-2 #3): square in the
+        # input dtype (bf16 multiply, half the convert work) and let the
+        # reduce accumulate fp32.  Changes variance numerics slightly —
+        # measured before adoption, default OFF.
+        return (
+            jnp.sum(x, axis=(1, 2, 3), dtype=jnp.float32),
+            jnp.sum(x * x, axis=(1, 2, 3), dtype=jnp.float32),
+        )
     xf = x.astype(jnp.float32)
     return (
         jnp.sum(xf, axis=(1, 2, 3)),

@@ -155,11 +155,21 @@ class Trainer:
                     "(DevicePatchSampler gathers its own sharding)"
                 )
             if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "spatial partitioning (--spatial_shards) is "
-                    "single-process for now: the per-host global-batch "
-                    "assembly shards rows over 'data' only (SURVEY §5.8)"
-                )
+                # dp x sp across hosts: every process contributes its rows
+                # of the global batch at FULL spatial extent, and
+                # make_array_from_process_local_data lays them out over
+                # (data, space).  That requires each process to own whole
+                # (data-row x all-space) blocks of the mesh — i.e. the
+                # 'space' axis must fit inside one process's devices.
+                n_local = jax.local_device_count()
+                if n_local % n_space:
+                    raise ValueError(
+                        f"spatial partitioning across process boundaries "
+                        f"is not supported: the 'space' axis ({n_space}) "
+                        f"must divide the per-process device count "
+                        f"({n_local}) so every host owns whole spatial "
+                        f"rows of the mesh"
+                    )
             px = int(np.asarray(train_sampler.patch_size)[0])
             if px % n_space:
                 raise ValueError(
