@@ -63,14 +63,21 @@ def test_spatial_explicit_runs():
 
 def test_shard_subject_keys():
     keys = [f"k{i}" for i in range(10)]
+    # uneven 10 / 4: truncated to 8 so every process gets an EQUAL share
+    # (unequal per-host epoch lengths would deadlock the collectives)
     s0 = shard_subject_keys(keys, process_index=0, process_count=4)
     s3 = shard_subject_keys(keys, process_index=3, process_count=4)
-    assert s0 == ["k0", "k4", "k8"]
+    assert s0 == ["k0", "k4"]
     assert s3 == ["k3", "k7"]
     all_keys = sorted(sum(
         [shard_subject_keys(keys, i, 4) for i in range(4)], []
     ))
-    assert all_keys == sorted(keys)
+    assert all_keys == sorted(keys[:8])
+    # even split keeps every key
+    all_even = sorted(sum(
+        [shard_subject_keys(keys[:8], i, 4) for i in range(4)], []
+    ))
+    assert all_even == sorted(keys[:8])
     # single host = identity
     assert shard_subject_keys(keys, 0, 1) == keys
 
