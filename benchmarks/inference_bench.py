@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--overlap", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="patch batch per forward (profiled optimum: 8 — "
+                         "matches the predict CLI default; 2 ran the MXU "
+                         "at ~1/3 efficiency, see docs/PERFORMANCE.md)")
     args = ap.parse_args()
 
     import jax
@@ -33,6 +37,7 @@ def main():
     )
     from tpu_mednet.models import ResidualUNet3D
     from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.utils.flops import unet_forward_flops
 
     rng = np.random.default_rng(0)
     vols = {
@@ -51,6 +56,15 @@ def main():
         jax.random.PRNGKey(0), x0, train=False
     )
 
+    # forward TFLOP per volume for roofline context (one grid tiling)
+    from tpu_mednet.inference.device_sliding import _grid_corners
+    n_patches, _ = _grid_corners(
+        (args.size,) * 3, (args.patch,) * 3, (args.overlap,) * 3
+    )
+    vol_tflop = n_patches.shape[0] * unet_forward_flops(
+        1, 3, model.config.feature_maps, (args.patch,) * 3, block="residual"
+    ) / 1e12
+
     results = {}
     for name, fn in [
         ("device", predict_volumes_on_device),
@@ -58,7 +72,7 @@ def main():
     ]:
         common = dict(
             patch_size=(args.patch,) * 3, patch_overlap=(args.overlap,) * 3,
-            batch_size=2, reader=reader,
+            batch_size=args.batch, reader=reader,
         )
         fn(task, variables, None, keys[:1], **common)  # compile warmup
         t0 = time.perf_counter()
@@ -67,10 +81,16 @@ def main():
         _ = sum(int(np.asarray(out[k][:]).sum()) % 2 for k in keys)
         dt = time.perf_counter() - t0
         results[name] = round(args.volumes / dt * 60.0, 1)
+        results[name + "_tflops"] = round(
+            args.volumes * vol_tflop / dt, 1
+        )
     print(json.dumps({
         "metric": "volumes_per_min_128cubed",
         "stitch_device": results["device"],
         "stitch_gaussian": results["gaussian"],
+        "implied_fwd_tflops_device": results["device_tflops"],
+        "implied_fwd_tflops_gaussian": results["gaussian_tflops"],
+        "batch": args.batch,
         "unit": "volumes/min",
     }))
 

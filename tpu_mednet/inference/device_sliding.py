@@ -163,7 +163,7 @@ def predict_volumes_on_device(
     results = VolumeGroup()
     out_c = getattr(task, "num_heatmaps", 0) + 1
 
-    for key, vol in zip(subject_keys, volumes):
+    def dispatch(key, vol):
         img_size = np.asarray(vol.shape[1:], dtype=np.int64)
         corners, padded = _grid_corners(img_size, patch_size, patch_overlap)
         n_p = corners.shape[0]
@@ -176,15 +176,32 @@ def predict_volumes_on_device(
             (int(o), int(p - s - o)) for o, p, s in zip(ov, padded, img_size)
         )
 
-        # half-width upload: only the raw voxels cross the host link,
-        # as the model's compute dtype (pad + crop happen on device)
-        vol_cl = np.moveaxis(np.asarray(vol), 0, -1)
-        vol_dev = jnp.asarray(vol_cl, dtype=task.model.config.dtype)
-        core = np.asarray(jax.device_get(
-            predictor(variables, vol_dev, jnp.asarray(corners), pads)
-        ))
+        # half-width upload: only the raw voxels cross the host link, in
+        # the reader's own f16 — the compute-dtype cast happens per patch
+        # ON DEVICE (inside the jit), so the host never converts
+        vol_cl = np.ascontiguousarray(np.moveaxis(np.asarray(vol), 0, -1))
+        vol_dev = jnp.asarray(vol_cl)
+        return key, img_size, predictor(
+            variables, vol_dev, jnp.asarray(corners), pads
+        )
+
+    def finalize(key, img_size, out):
+        core = np.asarray(jax.device_get(out))
         vol_cf = np.moveaxis(core, -1, 0).astype(out_dtype)
         ds = results.require_dataset(key, (out_c, *img_size), out_dtype)
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key]).tolist()
+
+    # software pipeline over volumes: JAX dispatch is async, so queuing the
+    # next volume's upload + jit call before pulling the previous result
+    # overlaps the host-link transfers with device compute (depth 1 is
+    # enough: one volume in flight while one downloads)
+    pending = None
+    for key, vol in zip(subject_keys, volumes):
+        nxt = dispatch(key, vol)
+        if pending is not None:
+            finalize(*pending)
+        pending = nxt
+    if pending is not None:
+        finalize(*pending)
     return results

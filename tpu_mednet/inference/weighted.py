@@ -204,7 +204,8 @@ def predict_volumes_weighted_on_device(
 
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
-    for key_, vol in zip(subject_keys, volumes):
+
+    def dispatch(key_, vol):
         img_size = np.asarray(vol.shape[1:], dtype=np.int64)
         corners, padded = _grid_corners(img_size, patch_size, patch_overlap)
         n_p = corners.shape[0]
@@ -221,15 +222,32 @@ def predict_volumes_weighted_on_device(
         pads = tuple(
             (int(o), int(p - s - o)) for o, p, s in zip(ov, padded, img_size)
         )
-        vol_cl = np.moveaxis(np.asarray(vol), 0, -1)
-        vol_dev = jnp.asarray(vol_cl, dtype=task.model.config.dtype)
-        core = np.asarray(jax.device_get(predictor(
+        # raw-f16 upload; the compute-dtype cast happens on device inside
+        # the jit (no host-side bf16 conversion on the single core)
+        vol_cl = np.ascontiguousarray(np.moveaxis(np.asarray(vol), 0, -1))
+        vol_dev = jnp.asarray(vol_cl)
+        return key_, img_size, predictor(
             variables, vol_dev, jnp.asarray(corners), jnp.asarray(mask), pads
-        )))
+        )
+
+    def finalize(key_, img_size, out):
+        core = np.asarray(jax.device_get(out))
         vol_cf = np.moveaxis(core, -1, 0)
         ds = results.require_dataset(key_, (out_c, *img_size), out_dtype)
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key_]).tolist()
+
+    # software pipeline (depth 1): next volume's upload + jit call are
+    # dispatched before the previous result is pulled, overlapping the
+    # host-link transfers with device compute (same as device_sliding.py)
+    pending = None
+    for key_, vol in zip(subject_keys, volumes):
+        nxt = dispatch(key_, vol)
+        if pending is not None:
+            finalize(*pending)
+        pending = nxt
+    if pending is not None:
+        finalize(*pending)
     return results
 
 
