@@ -230,7 +230,10 @@ def test_open_reader_suffix_routing(tmp_path):
 
 
 def _make_zarr_store(tmp_path):
-    zarr = pytest.importorskip("zarr")
+    try:
+        import zarr
+    except ImportError:  # bundled fallback — same v2 format on disk
+        from tpu_mednet.data import zarrlite as zarr
     root = zarr.open(str(tmp_path / "d.zarr"), mode="w")
     rng = np.random.default_rng(0)
     for i in range(2):

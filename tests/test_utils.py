@@ -130,6 +130,43 @@ def test_export_cli(tmp_path):
     assert len(files) == 1
 
 
+def test_export_cli_zarr_and_zip(tmp_path):
+    """The reference's zarr result flow (predict.py:100-115 save, then
+    export.py over .zarr/.zip) end-to-end — runs on the bundled zarrlite
+    store when the zarr package is absent."""
+    from click.testing import CliRunner
+
+    from tpu_mednet.data.readers import ZarrReader
+    from tpu_mednet.data.stores import VolumeGroup
+    from tpu_mednet.utils.export import export_to_nii
+
+    vg = VolumeGroup()
+    ds = vg.require_dataset("k1", (2, 8, 8, 8), np.float32)
+    ds[:] = np.random.default_rng(0).normal(size=(2, 8, 8, 8))
+    ds.attrs["affine"] = np.eye(4).tolist()
+
+    for name in ("out.zarr", "out.zip"):
+        store_path = tmp_path / name
+        vg.save(store_path, group="prediction")
+        result = CliRunner().invoke(export_to_nii, [
+            "--data_path", str(store_path), "--data_group", "prediction",
+            "--export_dir", str(tmp_path / f"exp_{name}"),
+        ])
+        assert result.exit_code == 0, result.output
+        stem = store_path.stem
+        files = sorted((tmp_path / f"exp_{name}" / stem / "prediction")
+                       .glob("*.nii.gz"))
+        assert len(files) == 2  # one per channel
+        data, affine = load_nifti(files[0])
+        np.testing.assert_allclose(data, np.asarray(ds.array[0]), rtol=1e-6)
+        np.testing.assert_allclose(affine, np.eye(4))
+
+    # and the training-side reader consumes the directory store
+    r = ZarrReader(tmp_path / "out.zarr")
+    (vol,) = list(r.read(["k1"], "prediction", dtype=np.float32))
+    np.testing.assert_allclose(vol, ds.array, rtol=1e-6)
+
+
 def test_make_grid_tiles():
     imgs = np.ones((3, 4, 4), dtype=np.float32)
     grid = make_grid(imgs, nrow=2, padding=1)

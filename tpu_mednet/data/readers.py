@@ -8,8 +8,8 @@ tracemalloc telemetry, shape and attribute (``affine``) queries.
 Differences from the reference (intended-semantics fixes, SURVEY.md §2.4):
 
 - ``ZarrReader`` is actually functional (the reference's referenced
-  undefined names, dataset.py:188-189,203); it is gated on zarr being
-  installed.
+  undefined names, dataset.py:188-189,203); when the zarr package is
+  absent it runs on the bundled spec-compliant v2 store (``zarrlite``).
 - A ``MemoryReader`` over plain dict-of-arrays backs tests, benchmarks and
   the sliding-window result store without external deps.
 """
@@ -32,10 +32,10 @@ try:  # optional dependency
 except ImportError:  # pragma: no cover
     h5py = None
 
-try:  # optional dependency
+try:  # optional dependency; fall back to the bundled v2 implementation
     import zarr
-except ImportError:  # pragma: no cover
-    zarr = None
+except ImportError:
+    from tpu_mednet.data import zarrlite as zarr
 
 
 class DataReader:
@@ -111,8 +111,6 @@ class ZarrReader(DataReader):
     ``DataReaderZarr`` (dataset.py:179-207)."""
 
     def __init__(self, path_data):
-        if zarr is None:  # pragma: no cover
-            raise ImportError("zarr is not installed in this environment")
         self.path_data = path_data
         self.zf = zarr.open(str(path_data), mode="r")
 

@@ -2,9 +2,10 @@
 
 The reference stitches sliding-window results into an in-memory zarr group
 (`/root/reference/midasmednet/dataset.py:433,468-474`) and persists it to
-HDF5 or a zarr ZipStore (`examples/predict.py:100-115`).  zarr is optional
-in this environment, so the result container is a small dict-backed group
-with per-dataset attrs and HDF5/zarr export.
+HDF5 or a zarr ZipStore (`examples/predict.py:100-115`).  The result
+container is a small dict-backed group with per-dataset attrs and
+HDF5/zarr export; zarr export uses the real package when installed and
+the bundled spec-compliant v2 implementation (``zarrlite``) otherwise.
 """
 
 from __future__ import annotations
@@ -21,8 +22,8 @@ except ImportError:  # pragma: no cover
 
 try:
     import zarr
-except ImportError:  # pragma: no cover
-    zarr = None
+except ImportError:
+    from tpu_mednet.data import zarrlite as zarr
 
 
 class VolumeDataset:
@@ -106,9 +107,7 @@ class VolumeGroup:
                     out.attrs[name] = value
 
     def to_zarr(self, path, group: Optional[str] = None) -> None:
-        """Persist into a zarr store (requires zarr)."""
-        if zarr is None:  # pragma: no cover
-            raise ImportError("zarr is not installed in this environment")
+        """Persist into a zarr store (zarr package, or bundled zarrlite)."""
         root = zarr.open(str(path), mode="a")
         target = root.require_group(group) if group else root
         for key, ds in self._datasets.items():

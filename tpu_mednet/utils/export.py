@@ -46,7 +46,10 @@ def export_to_nii(data_path, data_group, export_dir, sum_channels,
         hf = h5py.File(data_path, "r")
         closer = hf.close
     else:
-        import zarr  # gated: not installed in this image by default
+        try:
+            import zarr
+        except ImportError:  # bundled v2 fallback
+            from tpu_mednet.data import zarrlite as zarr
 
         if data_path.suffix == ".zarr":
             hf = zarr.open(str(data_path), mode="r")
