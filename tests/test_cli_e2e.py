@@ -141,6 +141,21 @@ def test_predict_cli_end_to_end(workspace):
             assert seg.dtype == np.uint8
             assert np.asarray(hf[f"prediction/{key}"].attrs["affine"]).shape == (4, 4)
 
+    # same predict, zarr output store (reference predict.py:100-115's other
+    # branch; runs on the bundled zarrlite store when zarr is absent) —
+    # reuses the checkpoint and jit cache, then must match the h5 results
+    rc = predict_main(["-c", str(cfg_path),
+                       f"prediction.data={workspace / 'pred.zarr'}"])
+    assert rc == 0
+    from tpu_mednet.data.readers import ZarrReader
+    zr = ZarrReader(workspace / "pred.zarr")
+    vols = list(zr.read(["subj0", "subj2"], "prediction", dtype=np.uint8))
+    with h5py.File(workspace / "pred.h5") as hf:
+        for key, vol in zip(["subj0", "subj2"], vols):
+            np.testing.assert_array_equal(vol, hf[f"prediction/{key}"][:])
+    affs = zr.get_data_attribute(["subj0"], "prediction", "affine")
+    assert np.asarray(affs["subj0"]).shape == (4, 4)
+
 
 def test_train_ldmks_cli_end_to_end(workspace):
     argv = seg_args(

@@ -60,6 +60,13 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True
             ),
+            # registering the handlers up front lets item_metadata() and
+            # subset restores (restore_hparams) run without orbax's
+            # 'Item ... could not be restored' warnings on every predict
+            item_handlers={
+                "state": ocp.StandardCheckpointHandler(),
+                "hparams": ocp.JsonCheckpointHandler(),
+            },
         )
 
     def save(self, step: int, state: TrainState,
