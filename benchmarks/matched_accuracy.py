@@ -267,8 +267,11 @@ def main():
     args = ap.parse_args()
     if args.patch > args.size:
         ap.error(f"--patch {args.patch} must be <= --size {args.size}")
-    if args.patch < 2 ** (args.levels - 1):
-        ap.error(f"--patch {args.patch} too small for --levels {args.levels}")
+    if args.patch % 2 ** (args.levels - 1):
+        # divisibility, not magnitude: the encoder pools (levels-1) times
+        # and the decoder must round-trip the exact extents
+        ap.error(f"--patch {args.patch} not divisible by "
+                 f"2^{args.levels - 1} (--levels {args.levels})")
     defaults = (ap.get_default("patch"), ap.get_default("fmaps"),
                 ap.get_default("size"), ap.get_default("levels"))
     non_default = (args.patch, args.fmaps, args.size, args.levels) != defaults

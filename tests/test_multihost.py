@@ -270,6 +270,11 @@ def test_shard_subject_keys_equalizes_shares(caplog):
               for p in range(3)]
     assert [len(s) for s in shards] == [2, 2, 2]
     assert not caplog.records
+    # fewer keys than processes: a zero share must raise, not silently
+    # turn the epoch into a no-op
+    import pytest
+    with pytest.raises(ValueError, match="0"):
+        shard_subject_keys(keys[:2], process_index=0, process_count=3)
 
 
 def test_assemble_global_array_single_process():

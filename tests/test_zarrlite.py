@@ -265,3 +265,86 @@ def test_zipstore_is_read_only_in_r_mode(tmp_path):
     with pytest.raises(OSError):
         re.create_dataset("y", data=np.zeros(1, np.float32))
     re.close()
+
+
+# ---------------------------------------------------------------------------
+# regressions (code-review findings, round 3)
+# ---------------------------------------------------------------------------
+
+def test_write_to_fortran_order_array_roundtrips(tmp_path):
+    """Writes must serialize in the array's declared order — a C-order dump
+    into an 'F' array (as real zarr can write) scrambles the next read."""
+    data = np.arange(12, dtype=np.float64).reshape(3, 4)
+    meta = {
+        "zarr_format": 2, "shape": [3, 4], "chunks": [3, 4],
+        "dtype": "<f8", "compressor": None, "fill_value": 0,
+        "order": "F", "filters": None,
+    }
+    _write_foreign_array(tmp_path / "a", meta, {"0.0": data.tobytes(order="F")})
+    arr = zarrlite.Array(zarrlite.DirectoryStore(tmp_path), "a")
+    arr[0, 0] = 99.0
+    expect = data.copy()
+    expect[0, 0] = 99.0
+    # a FRESH read (no cache) must see exactly the assignment
+    fresh = zarrlite.Array(zarrlite.DirectoryStore(tmp_path), "a")
+    np.testing.assert_array_equal(fresh[:], expect)
+
+
+def test_overwrite_deletes_stale_chunks(tmp_path):
+    """overwrite=True must not resurrect the old array's chunk bytes."""
+    root = zarrlite.open(tmp_path / "s.zarr", mode="w")
+    root.create_dataset("x", data=np.arange(8, dtype=np.int64), chunks=(2,))
+    # overwrite with a smaller, shape-only float array: no chunks written
+    arr = root.create_dataset("x", shape=(4,), dtype=np.float64, chunks=(2,),
+                              fill_value=0, overwrite=True)
+    np.testing.assert_array_equal(arr[:], np.zeros(4))
+    fresh = zarrlite.open(tmp_path / "s.zarr")["x"]
+    np.testing.assert_array_equal(fresh[:], np.zeros(4))
+    # ...and the old int64 chunk files are actually gone from disk
+    names = sorted(p.name for p in (tmp_path / "s.zarr" / "x").iterdir())
+    assert names == [".zarray"]
+
+
+def test_zipstore_overwrite_requires_data(tmp_path):
+    """A ZipStore cannot delete, so shape-only overwrite must refuse
+    (stale chunks would be read back as garbage); with data it is safe
+    (every chunk key is shadowed, last member wins)."""
+    p = tmp_path / "out.zip"
+    root = zarrlite.open(p, mode="w")
+    root.create_dataset("x", data=np.arange(8, dtype=np.int64), chunks=(2,))
+    with pytest.raises(ValueError, match="overwrite"):
+        root.create_dataset("x", shape=(8,), dtype=np.float64, chunks=(2,),
+                            overwrite=True)
+    root.create_dataset("x", data=np.ones(8, np.float64), chunks=(2,),
+                        overwrite=True)
+    root.close()
+    re = zarrlite.open(p, mode="r")
+    np.testing.assert_array_equal(re["x"][:], np.ones(8))
+    re.close()
+
+
+def test_read_only_directory_store_blocks_attr_writes(tmp_path):
+    """Attribute writes must honor mode='r' like array/dataset writes do."""
+    root = zarrlite.open(tmp_path / "s.zarr", mode="w")
+    root.create_dataset("x", data=np.zeros(2, np.float32))
+    ro = zarrlite.open(tmp_path / "s.zarr", mode="r")
+    with pytest.raises(OSError):
+        ro["x"].attrs["foo"] = 1
+    with pytest.raises(OSError):
+        ro.attrs["bar"] = 2
+    assert "foo" not in zarrlite.open(tmp_path / "s.zarr")["x"].attrs
+
+
+def test_store_property_and_close_releases_zip_handle(tmp_path):
+    """Group/Array expose .store (real-zarr v2 compat) and closing it
+    actually releases the zip handle (reader/export close paths)."""
+    p = tmp_path / "out.zip"
+    root = zarrlite.open(p, mode="w")
+    root.create_dataset("x", data=np.zeros(2, np.float32))
+    assert root.store is not None
+    root.store.close()
+    re = zarrlite.open(p, mode="r")
+    assert re["x"].store is re.store
+    re.store.close()
+    with pytest.raises(ValueError):  # zipfile: archive already closed
+        re.store["x/.zarray"]

@@ -128,8 +128,12 @@ class ZarrReader(DataReader):
         return {k: self.zf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
 
     def close(self):
-        # zarr stores have no persistent handle to close by default
-        pass
+        # directory stores hold no handle, but a ZipStore keeps the zip
+        # file open — release it (real zarr and zarrlite both expose the
+        # backing store as ``.store``)
+        store = getattr(self.zf, "store", None)
+        if store is not None and hasattr(store, "close"):
+            store.close()
 
 
 class MemoryReader(DataReader):

@@ -109,13 +109,21 @@ class VolumeGroup:
     def to_zarr(self, path, group: Optional[str] = None) -> None:
         """Persist into a zarr store (zarr package, or bundled zarrlite)."""
         root = zarr.open(str(path), mode="a")
-        target = root.require_group(group) if group else root
-        for key, ds in self._datasets.items():
-            arr = target.create_dataset(
-                key, data=ds.array, shape=ds.shape, dtype=ds.dtype, overwrite=True
-            )
-            for name, value in ds.attrs.items():
-                arr.attrs[name] = value
+        try:
+            target = root.require_group(group) if group else root
+            for key, ds in self._datasets.items():
+                arr = target.create_dataset(
+                    key, data=ds.array, shape=ds.shape, dtype=ds.dtype,
+                    overwrite=True
+                )
+                for name, value in ds.attrs.items():
+                    arr.attrs[name] = value
+        finally:
+            # a ZipStore writes its central directory only on close() — a
+            # store left to GC finalization can truncate the archive
+            store = getattr(root, "store", None)
+            if store is not None and hasattr(store, "close"):
+                store.close()
 
     def save(self, path, group: Optional[str] = None) -> None:
         """Persist to ``.h5``/``.hdf5`` or zarr based on the path suffix.

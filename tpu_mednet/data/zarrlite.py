@@ -150,11 +150,15 @@ class DirectoryStore:
         return p.read_bytes()
 
     def __setitem__(self, key: str, value: bytes) -> None:
+        if not self.writable:
+            raise OSError("store opened read-only")
         p = self._path(key)
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_bytes(value)
 
     def __delitem__(self, key: str) -> None:
+        if not self.writable:
+            raise OSError("store opened read-only")
         p = self._path(key)
         if p.is_file():
             p.unlink()
@@ -173,6 +177,8 @@ class DirectoryStore:
         return sorted(c.name for c in p.iterdir())
 
     def rmdir(self, prefix: str = "") -> None:
+        if not self.writable:
+            raise OSError("store opened read-only")
         p = self._path(prefix) if prefix else self.root
         if p.is_dir():
             shutil.rmtree(p)
@@ -205,7 +211,14 @@ class ZipStore:
     def __setitem__(self, key: str, value: bytes) -> None:
         if not self.writable:
             raise OSError("ZipStore opened read-only")
-        self._zf.writestr(key, value)
+        import warnings
+
+        with warnings.catch_warnings():
+            # rewriting a key appends a duplicate member (last wins — the
+            # documented semantic here and in real zarr); zipfile's
+            # 'Duplicate name' UserWarning is just noise for that
+            warnings.filterwarnings("ignore", message="Duplicate name")
+            self._zf.writestr(key, value)
 
     def __contains__(self, key: str) -> bool:
         return key in self._zf.NameToInfo
@@ -334,6 +347,11 @@ class Array:
     # -- geometry ----------------------------------------------------------
 
     @property
+    def store(self):
+        """The backing store (real-zarr v2 API compat)."""
+        return self._store
+
+    @property
     def ndim(self) -> int:
         return len(self.shape)
 
@@ -400,7 +418,7 @@ class Array:
         self._cache = full
 
     def _write_full(self, data: np.ndarray) -> None:
-        data = np.ascontiguousarray(data, dtype=self.dtype)
+        data = np.asarray(data, dtype=self.dtype)
         fill = self.fill_value if self.fill_value is not None else 0
         for idx in self._grid():
             sel = tuple(
@@ -412,7 +430,10 @@ class Array:
                 padded = np.full(self.chunks, fill, dtype=self.dtype)
                 padded[tuple(slice(0, e) for e in block.shape)] = block
                 block = padded
-            raw = block.tobytes(order="C")
+            # serialize in the array's declared order: reads reshape with
+            # order=self.order, so a C-order dump into an 'F' array would
+            # silently transpose-scramble the chunk on the next read
+            raw = block.tobytes(order=self.order)
             self._store[self._chunk_key(idx)] = _compress(raw, self.compressor)
 
 
@@ -428,8 +449,24 @@ def _create_array(
     overwrite: bool = False,
 ) -> Array:
     meta_key = _join(path, _ARRAY_META)
-    if meta_key in store and not overwrite:
-        raise ValueError(f"array exists at {path!r} (pass overwrite=True)")
+    if meta_key in store or _join(path, _GROUP_META) in store:
+        if not overwrite:
+            raise ValueError(
+                f"array or group exists at {path!r} (pass overwrite=True)"
+            )
+        # the previous node's chunk/attr/child objects MUST go: under a new
+        # .zarray they would be decoded as data (stale-chunk resurrection).
+        # DirectoryStore deletes the subtree; ZipStore cannot delete, but a
+        # full-data write shadows every chunk key (duplicate member, last
+        # wins), so overwrite-with-data is still safe there.
+        if hasattr(store, "rmdir"):
+            store.rmdir(path)
+        elif data is None:
+            raise ValueError(
+                f"cannot overwrite {path!r} without data= on a store that "
+                "cannot delete (ZipStore): stale chunks would be read back "
+                "as garbage under the new metadata"
+            )
     if data is not None:
         data = np.asarray(data, dtype=dtype)
         shape, dtype = data.shape, data.dtype
@@ -474,6 +511,11 @@ class Group:
         self._store = store
         self.path = path
         self.attrs = Attributes(store, path)
+
+    @property
+    def store(self):
+        """The backing store (real-zarr v2 API compat)."""
+        return self._store
 
     # -- resolution --------------------------------------------------------
 

@@ -125,6 +125,14 @@ def shard_subject_keys(keys: Sequence[str],
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     keys = list(keys)
+    if pc > 1 and keys and len(keys) < pc:
+        # a zero share would silently turn the epoch into a no-op (empty
+        # samplers on every host, fit() "succeeds" having trained nothing)
+        raise ValueError(
+            f"{len(keys)} subject keys cannot be shared across {pc} "
+            f"processes (every process would get 0); use fewer processes "
+            f"or more subjects"
+        )
     rem = len(keys) % pc
     if pc > 1 and rem:
         logger.warning(

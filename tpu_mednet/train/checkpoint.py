@@ -30,12 +30,21 @@ logger = logging.getLogger(__name__)
 CKPT_FORMAT = 2
 
 
+# directories already warned about a missing format tag — predict restores
+# hparams twice (restore_hparams, then the full restore), and the multi-line
+# warning should fire once per checkpoint, not per read
+_format_warned: set = set()
+
+
 def check_ckpt_format(hparams: Optional[Dict], directory) -> None:
     """Warn on checkpoints predating the format tag; refuse newer ones."""
     if hparams is None:
         return
     v = hparams.get("ckpt_format")
     if v is None:
+        if str(directory) in _format_warned:
+            return
+        _format_warned.add(str(directory))
         logger.warning(
             "checkpoint at %s carries no ckpt_format tag: it predates the "
             "torch-phase decoder-upsample change (format 2). If it was "

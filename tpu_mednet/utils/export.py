@@ -56,7 +56,10 @@ def export_to_nii(data_path, data_group, export_dir, sum_channels,
         else:
             store = zarr.ZipStore(str(data_path), mode="r")
             hf = zarr.open(store=store, mode="r")
-        closer = getattr(hf, "close", lambda: None)
+        # close the backing store (a ZipStore holds the zip file open)
+        _store = getattr(hf, "store", None)
+        closer = (_store.close if _store is not None
+                  and hasattr(_store, "close") else lambda: None)
 
     try:
         if test_keys:
