@@ -32,13 +32,47 @@ def test_gamma_preserves_range():
 
 
 def test_contrast_preserves_mean():
+    # exact mean preservation holds without the range clamp
     x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 4, 4, 4, 1)))
-    y = contrast(x, jax.random.PRNGKey(2), (0.3, 1.7))
+    y = contrast(x, jax.random.PRNGKey(2), (0.3, 1.7), preserve_range=False)
     np.testing.assert_allclose(
         np.asarray(y).reshape(3, -1).mean(axis=1),
         np.asarray(x).reshape(3, -1).mean(axis=1),
         atol=1e-5,
     )
+
+
+def test_contrast_preserve_range_clamps():
+    # factors > 1 overshoot the input range; batchgenerators' default
+    # preserve_range=True clips back to the original per-channel [min, max]
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 4, 4, 4, 2)))
+    key = jax.random.PRNGKey(5)
+    unclamped = contrast(x, key, (1.5, 1.7), preserve_range=False)
+    clamped = contrast(x, key, (1.5, 1.7), preserve_range=True)
+    xm = np.asarray(x)
+    for s in range(2):
+        for ch in range(2):
+            lo, hi = xm[s, ..., ch].min(), xm[s, ..., ch].max()
+            assert np.asarray(unclamped)[s, ..., ch].max() > hi  # would overshoot
+            got = np.asarray(clamped)[s, ..., ch]
+            assert got.min() >= lo - 1e-6 and got.max() <= hi + 1e-6
+
+
+def test_contrast_per_channel_factors():
+    # per_channel=True (the reference default) draws an independent factor
+    # per (sample, channel): recover the implied factor from an unclamped
+    # transform and check channels differ
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(1, 4, 4, 4, 3)))
+    y = contrast(x, jax.random.PRNGKey(8), (0.3, 1.7), preserve_range=False)
+    xm, ym = np.asarray(x), np.asarray(y)
+    factors = []
+    for ch in range(3):
+        xc, yc = xm[0, ..., ch], ym[0, ..., ch]
+        m = xc.mean()
+        f = (yc - m).ravel() / (xc - m).ravel()
+        np.testing.assert_allclose(f, f[0], rtol=1e-4)  # constant within channel
+        factors.append(f[0])
+    assert len(np.unique(np.round(factors, 6))) == 3
 
 
 def test_mirror_consistent_with_label():

@@ -130,8 +130,10 @@ class DevicePatchSampler:
         if self.class_probabilities is not None:
             ncls = len(self.class_probabilities)
             for cm in self._class_maps:
+                # index 0 (background) is never position-sampled (cls > 0
+                # guard below) — skip its full-volume scan
                 self._label_ax2_any.append(
-                    [np.any(cm == c, axis=2) for c in range(ncls)]
+                    [None] + [np.any(cm == c, axis=2) for c in range(1, ncls)]
                 )
 
         # landmark coords resident on device for on-the-fly heatmap synthesis

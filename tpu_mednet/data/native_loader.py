@@ -134,6 +134,20 @@ class NativeBatchPipeline:
         order = np.arange(len(s))
         if shuffle:
             s.rng.shuffle(order)
+        if 0 < len(order) < batch_size:
+            # same tiny-epoch pad as PatchSampler.batches (one-time warning
+            # lives there via _pad_warned): a drop_last epoch must not
+            # silently yield nothing
+            if not s._pad_warned:
+                logger.warning(
+                    "epoch has %d items (< batch_size %d): padding the "
+                    "batch by re-drawing %d samples with replacement",
+                    len(order), batch_size, batch_size - len(order),
+                )
+                s._pad_warned = True
+            extra = s.rng.choice(order, size=batch_size - len(order),
+                                 replace=True)
+            order = np.concatenate([order, extra])
         chunks = []
         for start in range(0, len(order), batch_size):
             chunk = order[start:start + batch_size]

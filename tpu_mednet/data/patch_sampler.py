@@ -62,6 +62,7 @@ class PatchSampler:
         self.heatmap_group = heatmap_group
         self.transform = transform
         self.rng = np.random.default_rng(seed)
+        self._pad_warned = False
 
         self.class_probabilities = None
         if class_probabilities is not None:
@@ -78,11 +79,30 @@ class PatchSampler:
         if heatmap_group:
             self.heatmaps = r.read_data_to_memory(self.subject_keys, heatmap_group,
                                                   dtype=np.uint8, preload=preload)
+        # with preload=False the deques hold live dataset handles into the
+        # reader's file — an owned reader must then stay open for the
+        # sampler's lifetime (close() releases it); preloaded arrays need
+        # no backing file
+        self._reader: Optional[DataReader] = None
         if owns_reader:
-            r.close()
+            if preload:
+                r.close()
+            else:
+                self._reader = r
 
         if len(self.images) != len(self.labels):
             raise ValueError("number of label volumes must match image volumes")
+
+        # fail fast with the offending subject, not an opaque rng.integers
+        # error mid-epoch (get_random_patch_indices needs extent >= patch)
+        for key, img in zip(self.subject_keys, self.images):
+            extent = np.asarray(img.shape[1:], dtype=np.int64)
+            if np.any(extent < self.patch_size):
+                raise ValueError(
+                    f"subject {key!r} volume extent {tuple(int(e) for e in extent)} "
+                    f"is smaller than patch_size "
+                    f"{tuple(int(p) for p in self.patch_size)}"
+                )
 
         # precompute per-(subject, class) any-masks over axis 2 of the class
         # map (last label channel) — the reference's sampling-map trick
@@ -94,10 +114,19 @@ class PatchSampler:
             num_classes = len(self.class_probabilities)
             for lbl in self.labels:
                 class_map = np.asarray(lbl[-1, ...])
+                # index 0 (background) is never position-sampled
+                # (selected_class > 0 guard in sample()) — skip its scan
                 self._label_ax2_any.append(
-                    [np.any(class_map == c, axis=2) for c in range(num_classes)]
+                    [None] + [np.any(class_map == c, axis=2)
+                              for c in range(1, num_classes)]
                 )
             logger.debug("finished %.3f s", time.perf_counter() - t)
+
+    def close(self) -> None:
+        """Release the owned reader backing lazy (preload=False) handles."""
+        if self._reader is not None:
+            self._reader.close()
+            self._reader = None
 
     def __len__(self) -> int:
         return len(self.images) * self.samples_per_subject
@@ -169,6 +198,27 @@ class PatchSampler:
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
+        if 0 < len(order) < batch_size:
+            # fewer items than one batch: a drop_last epoch would yield
+            # NOTHING (silently disabling e.g. validation on a tiny val
+            # set).  Pad by re-drawing with replacement — sample(idx) draws
+            # a fresh random patch per call, so repeated indices are still
+            # distinct patches.  Same trade as DevicePatchSampler: a fixed
+            # batch shape avoids a partial-shape jit recompile (minutes on
+            # the remote-compile TPU) and keeps multi-process global-batch
+            # row counts divisible over the mesh.
+            if not self._pad_warned:
+                logger.warning(
+                    "epoch has %d items (< batch_size %d): padding the "
+                    "batch by re-drawing %d samples with replacement — "
+                    "epoch composition diverges from "
+                    "subjects x samples_per_subject",
+                    len(order), batch_size, batch_size - len(order),
+                )
+                self._pad_warned = True
+            extra = self.rng.choice(order, size=batch_size - len(order),
+                                    replace=True)
+            order = np.concatenate([order, extra])
         n = len(order)
         for start in range(0, n, batch_size):
             chunk = order[start : start + batch_size]

@@ -50,9 +50,13 @@ def device_prefetch(
                 )
         return out
 
+    stop = threading.Event()
+
     def producer():
         try:
             for batch in host_iter:
+                if stop.is_set():
+                    return
                 q.put(put(batch))
         except BaseException as e:  # surface producer errors to the consumer
             q.put(e)
@@ -61,11 +65,24 @@ def device_prefetch(
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    thread.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer may abandon the epoch early (break / GeneratorExit):
+        # without this the producer stays blocked in q.put forever, leaking
+        # a thread + buffered device batches, and — since host_iter shares
+        # the sampler's rng with the caller's next-epoch shuffle — racing
+        # the rng.  Unblock it, let it see `stop`, and join to completion.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join()

@@ -449,6 +449,7 @@ def _create_array(
     overwrite: bool = False,
 ) -> Array:
     meta_key = _join(path, _ARRAY_META)
+    shadow_attrs = False
     if meta_key in store or _join(path, _GROUP_META) in store:
         if not overwrite:
             raise ValueError(
@@ -458,7 +459,9 @@ def _create_array(
         # .zarray they would be decoded as data (stale-chunk resurrection).
         # DirectoryStore deletes the subtree; ZipStore cannot delete, but a
         # full-data write shadows every chunk key (duplicate member, last
-        # wins), so overwrite-with-data is still safe there.
+        # wins), so overwrite-with-data is still safe there — the old
+        # .zattrs member must be shadowed too, or the new array would
+        # resurrect the previous array's attributes.
         if hasattr(store, "rmdir"):
             store.rmdir(path)
         elif data is None:
@@ -467,6 +470,8 @@ def _create_array(
                 "cannot delete (ZipStore): stale chunks would be read back "
                 "as garbage under the new metadata"
             )
+        else:
+            shadow_attrs = True
     if data is not None:
         data = np.asarray(data, dtype=dtype)
         shape, dtype = data.shape, data.dtype
@@ -493,6 +498,8 @@ def _create_array(
         "dimension_separator": ".",
     }
     store[meta_key] = json.dumps(meta, indent=1).encode()
+    if shadow_attrs:
+        store[_join(path, _ATTRS_KEY)] = b"{}"
     arr = Array(store, path)
     if data is not None:
         arr._write_full(data)

@@ -1,0 +1,76 @@
+"""Shared plumbing for the on-device inference pipelines.
+
+`device_sliding.py` (crop-stitch) and `weighted.py` (Gaussian-weighted
+stitch) share three structural pieces that must stay in lockstep — the
+per-task jit-predictor cache, the depth-1 dispatch/finalize software
+pipeline over volumes, and the model-forward + postprocess activation
+split.  They live here once so a postprocess or pipelining change cannot
+silently apply to one stitcher and not the other.
+"""
+
+from __future__ import annotations
+
+import weakref
+from typing import Callable, Dict, Hashable, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def per_task_cache(cache: Dict[int, Dict], task, key: Hashable,
+                   build: Callable[[], object]):
+    """Get-or-build a per-task cached object (e.g. a jit'd predictor).
+
+    Building a new jit closure per call would recompile (~25 s over the
+    remote-compile path), so predictors are cached per task and evicted
+    when the task is garbage-collected (weakref.finalize; tasks are
+    unhashable dataclasses, so the outer key is ``id(task)``) — long-lived
+    processes cycling tasks/checkpoints don't pin dead jit executables.
+    ``key`` is the static config that shapes the trace.
+    """
+    tid = id(task)
+    if tid not in cache:
+        cache[tid] = {}
+        weakref.finalize(task, cache.pop, tid, None)
+    per_task = cache[tid]
+    if key not in per_task:
+        per_task[key] = build()
+    return per_task[key]
+
+
+def run_pipelined(items: Iterable[Tuple], dispatch: Callable,
+                  finalize: Callable) -> None:
+    """Depth-1 software pipeline: dispatch item N+1 before finalizing N.
+
+    JAX dispatch is async, so queuing the next volume's upload + jit call
+    before pulling the previous result overlaps the (slow) host-link
+    transfers with device compute.  Depth 1 is enough: one volume in
+    flight while one downloads.
+    """
+    pending = None
+    for item in items:
+        nxt = dispatch(*item)
+        if pending is not None:
+            finalize(*pending)
+        pending = nxt
+    if pending is not None:
+        finalize(*pending)
+
+
+def split_activations(task, variables, patches):
+    """Model forward + the reference's predict postprocess split.
+
+    Heatmap channels pass through raw; class channels are softmaxed
+    (reference `landmarks.py:88-94`: heatmaps taken raw from the output,
+    class channels through `F.softmax`).  No stitch weighting — callers
+    weight/crop the result themselves.
+    """
+    model = task.model
+    num_heatmaps = getattr(task, "num_heatmaps", 0)
+    logits = model.apply(variables, patches.astype(model.config.dtype),
+                         train=False)
+    if num_heatmaps:
+        hm = logits[..., :num_heatmaps]
+        probs = jax.nn.softmax(logits[..., num_heatmaps:], axis=-1)
+        return jnp.concatenate([hm, probs], axis=-1)
+    return jax.nn.softmax(logits, axis=-1)

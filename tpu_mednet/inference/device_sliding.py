@@ -23,6 +23,7 @@ import numpy as np
 
 from tpu_mednet.data.readers import DataReader, open_reader
 from tpu_mednet.data.stores import VolumeGroup
+from tpu_mednet.inference.common import per_task_cache, run_pipelined
 
 
 def _grid_corners(img_size, patch_size, overlap):
@@ -61,10 +62,7 @@ def make_device_predictor(task, patch_size: Sequence[int],
     @partial(jax.jit, static_argnames=("pads",))
     def run(variables, volume, corners, pads):
         img_shape = volume.shape[:3]
-        volume = jnp.pad(
-            volume, tuple(pads) + ((0, 0),),
-            mode=pad_mode if pad_mode != "constant" else "constant",
-        )
+        volume = jnp.pad(volume, tuple(pads) + ((0, 0),), mode=pad_mode)
         c_in = volume.shape[-1]
         out_c = getattr(task, "num_heatmaps", 0) + 1
 
@@ -105,28 +103,17 @@ def make_device_predictor(task, patch_size: Sequence[int],
     return run
 
 
-# predictor cache: building a new jit closure per call would recompile
-# (one compile is ~25s over the remote-compile path); keyed per task and
-# evicted when the task is garbage-collected (weakref.finalize; tasks are
-# unhashable dataclasses, so keys are ids) so long-lived processes don't
-# pin dead jit executables
-import weakref
-
 _PREDICTOR_CACHE: Dict[int, Dict] = {}
 
 
 def _cached_predictor(task, patch_size, patch_overlap, batch_size, pad_mode):
-    tid = id(task)
-    if tid not in _PREDICTOR_CACHE:
-        _PREDICTOR_CACHE[tid] = {}
-        weakref.finalize(task, _PREDICTOR_CACHE.pop, tid, None)
-    per_task = _PREDICTOR_CACHE[tid]
-    key = (patch_size, patch_overlap, batch_size, pad_mode)
-    if key not in per_task:
-        per_task[key] = make_device_predictor(
+    return per_task_cache(
+        _PREDICTOR_CACHE, task,
+        (patch_size, patch_overlap, batch_size, pad_mode),
+        lambda: make_device_predictor(
             task, patch_size, patch_overlap, batch_size, pad_mode=pad_mode
-        )
-    return per_task[key]
+        ),
+    )
 
 
 def predict_volumes_on_device(
@@ -192,16 +179,5 @@ def predict_volumes_on_device(
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key]).tolist()
 
-    # software pipeline over volumes: JAX dispatch is async, so queuing the
-    # next volume's upload + jit call before pulling the previous result
-    # overlaps the host-link transfers with device compute (depth 1 is
-    # enough: one volume in flight while one downloads)
-    pending = None
-    for key, vol in zip(subject_keys, volumes):
-        nxt = dispatch(key, vol)
-        if pending is not None:
-            finalize(*pending)
-        pending = nxt
-    if pending is not None:
-        finalize(*pending)
+    run_pipelined(zip(subject_keys, volumes), dispatch, finalize)
     return results

@@ -30,6 +30,11 @@ import numpy as np
 from tpu_mednet.data.grid import GridPatchSampler
 from tpu_mednet.data.readers import open_reader
 from tpu_mednet.data.stores import VolumeGroup
+from tpu_mednet.inference.common import (
+    per_task_cache,
+    run_pipelined,
+    split_activations,
+)
 from tpu_mednet.inference.sliding_window import pad_batch
 
 logger = logging.getLogger(__name__)
@@ -45,19 +50,6 @@ def gaussian_window(patch_size: Sequence[int], sigma_scale: float = 0.125,
         axes.append(np.exp(-(x**2) / (2 * sigma**2)))
     w = axes[0][:, None, None] * axes[1][None, :, None] * axes[2][None, None, :]
     return np.maximum(w, floor).astype(np.float32)
-
-
-def _weighted_activations(task, variables, patches):
-    """Model forward + the reference postprocess split, WITHOUT weighting."""
-    model = task.model
-    num_heatmaps = getattr(task, "num_heatmaps", 0)
-    logits = model.apply(variables, patches.astype(model.config.dtype),
-                         train=False)
-    if num_heatmaps:
-        hm = logits[..., :num_heatmaps]
-        probs = jax.nn.softmax(logits[..., num_heatmaps:], axis=-1)
-        return jnp.concatenate([hm, probs], axis=-1)
-    return jax.nn.softmax(logits, axis=-1)
 
 
 def make_weighted_device_predictor(task, patch_size: Sequence[int],
@@ -99,7 +91,7 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
             acc, wacc = carry
             corner_batch, m = batch
             patches = jax.vmap(gather)(corner_batch)
-            act = _weighted_activations(task, variables, patches)
+            act = split_activations(task, variables, patches)
             wact = act * w[None, ..., None]
 
             def write(i, carry):
@@ -148,12 +140,6 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
     return run
 
 
-# per-task predictor cache, evicted when the task is garbage-collected
-# (weakref.finalize; tasks are unhashable dataclasses, so keys are ids) —
-# a long-lived process cycling tasks/checkpoints doesn't pin dead jit
-# executables.  Sub-keyed by the static config that shapes the trace.
-import weakref
-
 _WEIGHTED_PREDICTOR_CACHE: Dict[int, Dict] = {}
 
 
@@ -189,18 +175,14 @@ def predict_volumes_weighted_on_device(
     if owns:
         r.close()
 
-    tid = id(task)
-    if tid not in _WEIGHTED_PREDICTOR_CACHE:
-        _WEIGHTED_PREDICTOR_CACHE[tid] = {}
-        weakref.finalize(task, _WEIGHTED_PREDICTOR_CACHE.pop, tid, None)
-    per_task = _WEIGHTED_PREDICTOR_CACHE[tid]
-    key = (tuple(patch_size), sigma_scale, pad_mode, np.dtype(out_dtype).str)
-    if key not in per_task:
-        per_task[key] = make_weighted_device_predictor(
+    predictor = per_task_cache(
+        _WEIGHTED_PREDICTOR_CACHE, task,
+        (tuple(patch_size), sigma_scale, pad_mode, np.dtype(out_dtype).str),
+        lambda: make_weighted_device_predictor(
             task, patch_size, sigma_scale=sigma_scale, pad_mode=pad_mode,
             out_dtype=out_dtype,
-        )
-    predictor = per_task[key]
+        ),
+    )
 
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
@@ -237,17 +219,7 @@ def predict_volumes_weighted_on_device(
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key_]).tolist()
 
-    # software pipeline (depth 1): next volume's upload + jit call are
-    # dispatched before the previous result is pulled, overlapping the
-    # host-link transfers with device compute (same as device_sliding.py)
-    pending = None
-    for key_, vol in zip(subject_keys, volumes):
-        nxt = dispatch(key_, vol)
-        if pending is not None:
-            finalize(*pending)
-        pending = nxt
-    if pending is not None:
-        finalize(*pending)
+    run_pipelined(zip(subject_keys, volumes), dispatch, finalize)
     return results
 
 
@@ -273,7 +245,6 @@ def predict_volumes_weighted(
     class map is the argmax of the weighted average (heatmap channels are
     averaged then clipped to the 0..255 uint8 convention).
     """
-    model = task.model
     num_heatmaps = getattr(task, "num_heatmaps", 0)
     out_channels = num_heatmaps + 1
 
@@ -288,15 +259,7 @@ def predict_volumes_weighted(
 
     @jax.jit
     def weighted_step(variables, data):
-        logits = model.apply(variables, data.astype(model.config.dtype),
-                             train=False)
-        if num_heatmaps:
-            hm = logits[..., :num_heatmaps]
-            probs = jax.nn.softmax(logits[..., num_heatmaps:], axis=-1)
-            act = jnp.concatenate([hm, probs], axis=-1)
-        else:
-            act = jax.nn.softmax(logits, axis=-1)
-        return act * window_dev
+        return split_activations(task, variables, data) * window_dev
 
     # accumulators: weighted activation sums + weight sums, padded domain
     acc: Dict[str, np.ndarray] = {}

@@ -51,16 +51,32 @@ def gamma(x: Array, key: Array, gamma_range: Tuple[float, float] = (0.7, 1.3),
 
 
 def contrast(x: Array, key: Array,
-             contrast_range: Tuple[float, float] = (0.3, 1.7)) -> Array:
-    """Per-sample contrast scale about the mean: ``(x - m) * f + m``."""
-    n = x.shape[0]
+             contrast_range: Tuple[float, float] = (0.3, 1.7),
+             preserve_range: bool = True,
+             per_channel: bool = True) -> Array:
+    """Contrast scale about the mean: ``(x - m) * f + m``.
+
+    Matches batchgenerators' ``augment_contrast`` defaults as composed by
+    the reference (train_seg.py:86): ``per_channel=True`` draws an
+    independent factor per (sample, channel) and takes the mean per
+    channel; ``preserve_range=True`` clamps the result back to the
+    original [min, max] of the same region, so factors > 1 never push
+    intensities outside the input range.
+    """
+    n, c = x.shape[0], x.shape[-1]
+    fshape = (n, 1, 1, 1, c) if per_channel else (n, 1, 1, 1, 1)
     f = jax.random.uniform(
-        key, (n, 1, 1, 1, 1), dtype=jnp.float32,
+        key, fshape, dtype=jnp.float32,
         minval=contrast_range[0], maxval=contrast_range[1],
     ).astype(x.dtype)
-    reduce_axes = tuple(range(1, x.ndim))
+    reduce_axes = (1, 2, 3) if per_channel else tuple(range(1, x.ndim))
     m = jnp.mean(x, axis=reduce_axes, keepdims=True)
-    return (x - m) * f + m
+    y = (x - m) * f + m
+    if preserve_range:
+        mn = jnp.min(x, axis=reduce_axes, keepdims=True)
+        mx = jnp.max(x, axis=reduce_axes, keepdims=True)
+        y = jnp.clip(y, mn, mx)
+    return y
 
 
 def mirror(x: Array, key: Array, label: Optional[Array] = None,

@@ -267,6 +267,16 @@ class Trainer:
                 last_metrics = scalars
             step_times.append(time.perf_counter() - t0)
             n_batches += 1
+        if self._profiling:
+            # the epoch ended (too few batches, or preempted) before the
+            # steady-state window closed — never leave a trace open
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.warning(
+                "profile trace closed at epoch end after %d steps "
+                "(< profile_steps=%d steady-state steps)",
+                n_batches, self.profile_steps,
+            )
         wall = time.perf_counter() - t_start
         if n_batches:
             pps = n_batches * self.batch_size / wall
