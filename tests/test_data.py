@@ -265,3 +265,86 @@ def test_zarr_reader_end_to_end(tmp_path):
                            patch_size=[8, 8, 8], seed=0)
     batch = next(sampler.batches(2))
     assert batch["data"].shape == (2, 8, 8, 8, 1)
+
+
+def test_patch_sampler_tiny_epoch_pads_and_warns(mem_reader, caplog):
+    """An epoch smaller than one batch pads by re-drawing with replacement
+    (one-time warning) instead of silently yielding nothing under the
+    drop_last semantics — e.g. validation on a tiny val set."""
+    import logging
+
+    ps = PatchSampler(
+        None, ["subj0", "subj1"], samples_per_subject=1, patch_size=[8, 8, 8],
+        reader=mem_reader, seed=0,
+    )
+    assert len(ps) == 2
+    with caplog.at_level(logging.WARNING, logger="tpu_mednet.data.patch_sampler"):
+        batches = list(ps.batches(batch_size=4))
+    assert len(batches) == 1
+    assert batches[0]["data"].shape == (4, 8, 8, 8, 1)
+    warns = [r for r in caplog.records if "re-drawing" in r.getMessage()]
+    assert len(warns) == 1
+    # the warning is one-time: a second epoch stays quiet
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="tpu_mednet.data.patch_sampler"):
+        assert len(list(ps.batches(batch_size=4))) == 1
+    assert not [r for r in caplog.records if "re-drawing" in r.getMessage()]
+
+
+def test_patch_sampler_rejects_volume_smaller_than_patch(mem_reader):
+    """Construction fails fast naming the offending subject when a volume
+    is smaller than the patch (instead of an opaque rng error mid-epoch)."""
+    with pytest.raises(ValueError, match=r"subj0.*smaller than patch_size"):
+        PatchSampler(
+            None, ["subj0"], samples_per_subject=1, patch_size=[32, 8, 8],
+            reader=mem_reader,
+        )
+
+
+def test_patch_sampler_lazy_reader_stays_open(tmp_path):
+    """With preload=False an owned reader must stay open for the sampler's
+    lifetime (the deques hold live h5py dataset handles); close() releases."""
+    h5py = pytest.importorskip("h5py")
+    store, _ = make_store(n_subjects=1)
+    path = tmp_path / "d.h5"
+    with h5py.File(path, "w") as hf:
+        hf.create_dataset("images/subj0", data=store["images"]["subj0"])
+        hf.create_dataset("labels/subj0", data=store["labels"]["subj0"])
+    ps = PatchSampler(
+        path, ["subj0"], samples_per_subject=2, patch_size=[8, 8, 8],
+        reader_cls=HDF5Reader, preload=False, seed=0,
+    )
+    s = ps.sample(0)  # would raise "Closed HDF5 dataset" if the file closed
+    assert s["data"].shape == (1, 8, 8, 8)
+    ps.close()
+    assert ps._reader is None
+
+
+def test_device_prefetch_early_abandonment_joins_producer():
+    """Breaking out of a prefetch epoch must unblock and join the producer
+    thread — no thread leak, and the shared sampler rng is never raced by
+    the next epoch's shuffle."""
+    import threading
+
+    from tpu_mednet.data.prefetch import device_prefetch
+
+    n_before = threading.active_count()
+    produced = []
+
+    def host_iter():
+        for i in range(100):
+            produced.append(i)
+            yield {"data": np.zeros((2, 4, 4, 4, 1), np.float32), "i": i}
+
+    it = device_prefetch(host_iter(), buffer_size=2)
+    first = next(it)
+    assert first["i"] == 0
+    it.close()  # early abandonment (same as `break` in a for-loop)
+    # producer stopped early (buffer_size-bounded) and its thread is gone
+    assert len(produced) < 100
+    deadline = 50
+    while threading.active_count() > n_before and deadline:
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= n_before
