@@ -103,10 +103,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         raise ValueError(f"unknown prediction.model {model_name!r}")
 
     mesh = None
+    devices = None
     if n_devices and n_devices > 1:
         import jax
         from tpu_mednet.parallel.mesh import make_mesh
-        mesh = make_mesh(n_data=min(n_devices, len(jax.devices())))
+        n = min(n_devices, len(jax.devices()))
+        mesh = make_mesh(n_data=n)
+        # on-device pipelines parallelize by dealing whole volumes
+        # round-robin across chips instead of sharding patch batches
+        devices = list(jax.devices())[:n]
 
     in_ch = task.model.config.in_channels
     template = create_train_state(
@@ -121,7 +126,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
-                pad_mode="constant",
+                pad_mode="constant", devices=devices,
             )
         elif stitch == "gaussian":
             # on-device accumulate (equivalence-tested vs the host
@@ -130,7 +135,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
-                pad_mode="constant",
+                pad_mode="constant", devices=devices,
             )
         else:
             results = predict_volumes(

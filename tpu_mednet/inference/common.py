@@ -39,22 +39,43 @@ def per_task_cache(cache: Dict[int, Dict], task, key: Hashable,
 
 
 def run_pipelined(items: Iterable[Tuple], dispatch: Callable,
-                  finalize: Callable) -> None:
-    """Depth-1 software pipeline: dispatch item N+1 before finalizing N.
+                  finalize: Callable, depth: int = 1) -> None:
+    """Software pipeline: keep up to ``depth`` dispatched items in flight.
 
     JAX dispatch is async, so queuing the next volume's upload + jit call
     before pulling the previous result overlaps the (slow) host-link
-    transfers with device compute.  Depth 1 is enough: one volume in
-    flight while one downloads.
+    transfers with device compute.  Depth 1 (the default) is enough on one
+    chip: one volume in flight while one downloads.  Data-parallel
+    multi-device inference passes ``depth = n_devices`` so every chip holds
+    one volume in flight.
     """
-    pending = None
+    from collections import deque
+
+    pending = deque()
     for item in items:
-        nxt = dispatch(*item)
-        if pending is not None:
-            finalize(*pending)
-        pending = nxt
-    if pending is not None:
-        finalize(*pending)
+        pending.append(dispatch(*item))
+        if len(pending) > max(int(depth), 1):
+            finalize(*pending.popleft())
+    while pending:
+        finalize(*pending.popleft())
+
+
+def round_robin_placement(variables, devices):
+    """Pre-place ``variables`` on every device for round-robin dispatch.
+
+    Returns ``(devs, vars_per_dev, depth)``: ``devs`` is None when no
+    multi-device placement is requested (single-device fast path), else the
+    device list with one replicated copy of the variables per device.
+    Volumes are then dealt round-robin — volume ``i`` runs on
+    ``devs[i % len(devs)]`` — the data-parallel inference layout
+    (reference parallelism surface: the PL ``gpus=N`` flag,
+    `/root/reference/examples/train_seg.py:126`).
+    """
+    devs = list(devices) if devices is not None else None
+    if not devs:
+        return None, None, 1
+    vars_per_dev = [jax.device_put(variables, d) for d in devs]
+    return devs, vars_per_dev, len(devs)
 
 
 def split_activations(task, variables, patches):

@@ -23,7 +23,11 @@ import numpy as np
 
 from tpu_mednet.data.readers import DataReader, open_reader
 from tpu_mednet.data.stores import VolumeGroup
-from tpu_mednet.inference.common import per_task_cache, run_pipelined
+from tpu_mednet.inference.common import (
+    per_task_cache,
+    round_robin_placement,
+    run_pipelined,
+)
 
 
 def _grid_corners(img_size, patch_size, overlap):
@@ -129,11 +133,19 @@ def predict_volumes_on_device(
     reader: Optional[DataReader] = None,
     pad_mode: str = "constant",
     out_dtype=np.uint8,
+    devices=None,
 ) -> VolumeGroup:
     """Drop-in alternative to ``predict_volumes`` with on-device stitching.
 
     Volumes with the same shape share one compiled executable (corner
     arrays are data, not shape, as long as the tile count matches).
+
+    With ``devices`` (a list of ``jax.Device``), volumes are dealt
+    round-robin across the devices — data-parallel inference, one volume in
+    flight per chip (the TPU answer to the reference's ``gpus=N`` inference
+    placement, `/root/reference/examples/predict.py:75-82`).  Outputs are
+    bit-identical to the single-device path (each volume runs whole on one
+    chip; only the placement changes).
     """
     owns = reader is None
     r = reader if reader is not None else open_reader(data_path, reader_cls)
@@ -149,8 +161,9 @@ def predict_volumes_on_device(
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
     out_c = getattr(task, "num_heatmaps", 0) + 1
+    devs, vars_per_dev, depth = round_robin_placement(variables, devices)
 
-    def dispatch(key, vol):
+    def dispatch(idx, key, vol):
         img_size = np.asarray(vol.shape[1:], dtype=np.int64)
         corners, padded = _grid_corners(img_size, patch_size, patch_overlap)
         n_p = corners.shape[0]
@@ -167,9 +180,14 @@ def predict_volumes_on_device(
         # the reader's own f16 — the compute-dtype cast happens per patch
         # ON DEVICE (inside the jit), so the host never converts
         vol_cl = np.ascontiguousarray(np.moveaxis(np.asarray(vol), 0, -1))
-        vol_dev = jnp.asarray(vol_cl)
+        if devs is not None:
+            d = devs[idx % len(devs)]
+            return key, img_size, predictor(
+                vars_per_dev[idx % len(devs)],
+                jax.device_put(vol_cl, d), jax.device_put(corners, d), pads,
+            )
         return key, img_size, predictor(
-            variables, vol_dev, jnp.asarray(corners), pads
+            variables, jnp.asarray(vol_cl), jnp.asarray(corners), pads
         )
 
     def finalize(key, img_size, out):
@@ -179,5 +197,8 @@ def predict_volumes_on_device(
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key]).tolist()
 
-    run_pipelined(zip(subject_keys, volumes), dispatch, finalize)
+    run_pipelined(
+        zip(range(len(volumes)), subject_keys, volumes), dispatch, finalize,
+        depth=depth,
+    )
     return results

@@ -32,6 +32,7 @@ from tpu_mednet.data.readers import open_reader
 from tpu_mednet.data.stores import VolumeGroup
 from tpu_mednet.inference.common import (
     per_task_cache,
+    round_robin_placement,
     run_pipelined,
     split_activations,
 )
@@ -157,11 +158,14 @@ def predict_volumes_weighted_on_device(
     pad_mode: str = "constant",
     sigma_scale: float = 0.125,
     out_dtype=np.uint8,
+    devices=None,
 ) -> VolumeGroup:
     """On-device drop-in for ``predict_volumes_weighted``.
 
     Same tiling geometry and weighting math; the accumulate loop runs in
     the same jit as the forward (HBM buffers), one round-trip per volume.
+    With ``devices``, volumes are dealt round-robin across the devices
+    (data-parallel inference; see ``device_sliding.predict_volumes_on_device``).
     """
     from tpu_mednet.data.readers import DataReader  # noqa: F401
     from tpu_mednet.inference.device_sliding import _grid_corners
@@ -186,8 +190,9 @@ def predict_volumes_weighted_on_device(
 
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
+    devs, vars_per_dev, depth = round_robin_placement(variables, devices)
 
-    def dispatch(key_, vol):
+    def dispatch(idx, key_, vol):
         img_size = np.asarray(vol.shape[1:], dtype=np.int64)
         corners, padded = _grid_corners(img_size, patch_size, patch_overlap)
         n_p = corners.shape[0]
@@ -207,9 +212,15 @@ def predict_volumes_weighted_on_device(
         # raw-f16 upload; the compute-dtype cast happens on device inside
         # the jit (no host-side bf16 conversion on the single core)
         vol_cl = np.ascontiguousarray(np.moveaxis(np.asarray(vol), 0, -1))
-        vol_dev = jnp.asarray(vol_cl)
+        if devs is not None:
+            d = devs[idx % len(devs)]
+            return key_, img_size, predictor(
+                vars_per_dev[idx % len(devs)], jax.device_put(vol_cl, d),
+                jax.device_put(corners, d), jax.device_put(mask, d), pads,
+            )
         return key_, img_size, predictor(
-            variables, vol_dev, jnp.asarray(corners), jnp.asarray(mask), pads
+            variables, jnp.asarray(vol_cl), jnp.asarray(corners),
+            jnp.asarray(mask), pads,
         )
 
     def finalize(key_, img_size, out):
@@ -219,7 +230,10 @@ def predict_volumes_weighted_on_device(
         ds[:] = vol_cf
         ds.attrs["affine"] = np.asarray(affines[key_]).tolist()
 
-    run_pipelined(zip(subject_keys, volumes), dispatch, finalize)
+    run_pipelined(
+        zip(range(len(volumes)), subject_keys, volumes), dispatch, finalize,
+        depth=depth,
+    )
     return results
 
 
