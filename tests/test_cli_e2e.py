@@ -244,12 +244,9 @@ def test_predict_cli_gaussian_stitch(workspace):
     from tpu_mednet.tasks import SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
     from tpu_mednet.train.checkpoint import CheckpointManager
-    import orbax.checkpoint as ocp
 
     mgr = CheckpointManager(str(workspace / "model"))
-    hp = mgr._mgr.restore(
-        mgr.latest_step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
-    )["hparams"]
+    hp = mgr.restore_hparams()
     mgr.close()
     from tpu_mednet.cli.predict import _coerce
     task = SegmentationTask.from_hparams(
@@ -268,3 +265,48 @@ def test_predict_cli_gaussian_stitch(workspace):
         np.testing.assert_array_equal(
             f["prediction/subj0"][:], np.asarray(ref["subj0"])
         )
+
+
+def test_export_serving_cli_end_to_end(workspace, tmp_path):
+    """train_seg -> mednet-export-serving -> deserialize -> call == predict."""
+    train_seg_main(seg_args(workspace))
+    from tpu_mednet.cli.export_serving import main as export_main
+
+    artifact = tmp_path / "model.jaxep"
+    rc = export_main([
+        "--checkpoint", str(workspace / "model"),
+        "--out", str(artifact),
+        "--patch_size", "16", "16", "16",
+    ])
+    assert rc == 0 and artifact.stat().st_size > 0
+
+    # serve-side: only jax + the bytes
+    import jax
+    import jax.numpy as jnp
+    loaded = jax.export.deserialize(artifact.read_bytes())
+    with h5py.File(workspace / "data.h5") as hf:
+        img = hf["images/subj0"][:, :16, :16, :16]
+    x = jnp.asarray(np.moveaxis(img, 0, -1)[None].astype(np.float32))
+    out = np.asarray(loaded.call(x))
+    assert out.shape == (1, 16, 16, 16, 1) and out.dtype == np.uint8
+
+    # equals the in-process predict step on the same checkpoint
+    import types
+    from tpu_mednet.cli.predict import _coerce
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import create_train_state, load_for_inference
+    from tpu_mednet.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(workspace / "model"))
+    hp = mgr.restore_hparams()
+    mgr.close()
+    task = SegmentationTask.from_hparams(
+        types.SimpleNamespace(**{k: _coerce(v) for k, v in hp.items()})
+    )
+    template = create_train_state(task.model, (1, 16, 16, 16, 1), 1e-3)
+    variables, _ = load_for_inference(str(workspace / "model"), template)
+    logits = task.model.apply(
+        variables, x.astype(task.model.config.dtype), train=False
+    )
+    want = np.asarray(task.predict_postprocess(logits))
+    np.testing.assert_array_equal(out, want)

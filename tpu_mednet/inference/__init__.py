@@ -1,4 +1,10 @@
 from tpu_mednet.inference.device_sliding import predict_volumes_on_device
+from tpu_mednet.inference.serving import (
+    export_predictor,
+    load_exported,
+    make_serving_fn,
+    save_exported,
+)
 from tpu_mednet.inference.sliding_window import pad_batch, predict_volumes
 from tpu_mednet.inference.weighted import (
     gaussian_window,
@@ -13,4 +19,8 @@ __all__ = [
     "predict_volumes_weighted_on_device",
     "gaussian_window",
     "pad_batch",
+    "export_predictor",
+    "save_exported",
+    "load_exported",
+    "make_serving_fn",
 ]
