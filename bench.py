@@ -23,13 +23,46 @@ reliably synchronize over the axon tunnel — see .claude/skills/verify).
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 
+def wait_for_backend(retries: int = 6, probe_timeout: int = 120,
+                     sleep: int = 90) -> bool:
+    """Wait out transient tunnel outages before touching the backend.
+
+    The axon tunnel has two observed failure modes (CLAUDE.md): backend
+    init fails UNAVAILABLE, or a bare ``jax.devices()`` hangs.  Both are
+    transient infra; probing in a SUBPROCESS with a timeout covers both
+    without wedging this process.  Diagnostics go to stderr — stdout must
+    stay one JSON line for the driver.
+    """
+    for attempt in range(retries):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if p.returncode == 0:
+                return True
+            msg = (p.stderr or b"").decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            msg = f"probe hung > {probe_timeout}s"
+        print(f"bench: backend probe {attempt + 1}/{retries} failed "
+              f"({msg}); retrying in {sleep}s", file=sys.stderr, flush=True)
+        if attempt + 1 < retries:
+            time.sleep(sleep)
+    print("bench: backend never came up; attempting the run anyway",
+          file=sys.stderr, flush=True)
+    return False
+
+
 def main():
+    wait_for_backend()
     import jax
     import jax.numpy as jnp
 
