@@ -106,3 +106,35 @@ def test_dp_weighted_stitch_matches_single_device():
         devices=jax.devices(), **kw)
     for k in keys:
         np.testing.assert_array_equal(np.asarray(single[k]), np.asarray(multi[k]))
+
+
+def test_placement_passthrough_reuses_resident_weights():
+    """A prebuilt RoundRobinPlacement is reused as-is (no re-replication)."""
+    from tpu_mednet.inference.common import RoundRobinPlacement
+
+    devices = jax.devices()[:2]
+    variables = {"w": jnp.ones((3,))}
+    devs, per_dev, depth = round_robin_placement(variables, devices)
+    placement = RoundRobinPlacement(devs, per_dev)
+    devs2, per_dev2, depth2 = round_robin_placement(variables, placement)
+    assert devs2 is devs and per_dev2 is per_dev and depth2 == 2
+    for d, v in zip(devs2, per_dev2):
+        assert v["w"].devices() == {d}
+
+
+def test_dp_pipeline_accepts_placement():
+    """Pipelines accept a RoundRobinPlacement for devices= (chunked CLI use)."""
+    from tpu_mednet.inference.common import RoundRobinPlacement
+
+    task, variables = make_task()
+    kw = dict(patch_size=[8, 8, 8], patch_overlap=[2, 2, 2], batch_size=4)
+    keys = [f"s{i}" for i in range(len(SHAPES))]
+    devs, per_dev, _ = round_robin_placement(variables, jax.devices())
+    placement = RoundRobinPlacement(devs, per_dev)
+    single = predict_volumes_on_device(
+        task, variables, None, keys, reader=make_reader(), **kw)
+    multi = predict_volumes_on_device(
+        task, variables, None, keys, reader=make_reader(),
+        devices=placement, **kw)
+    for k in keys:
+        np.testing.assert_array_equal(np.asarray(single[k]), np.asarray(multi[k]))

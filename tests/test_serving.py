@@ -65,8 +65,8 @@ def test_export_symbolic_batch_roundtrip(tmp_path):
 def test_export_pinned_batch(tmp_path):
     task, variables = make_seg_task()
     exported = export_predictor(task, variables, (16, 16, 16), batch_size=2)
-    loaded = load_exported(save_exported(exported, tmp_path / "p.jaxep")
-                           or tmp_path / "p.jaxep")
+    save_exported(exported, tmp_path / "p.jaxep")
+    loaded = load_exported(tmp_path / "p.jaxep")
     x = jnp.zeros((2, 16, 16, 16, 1), jnp.float32)
     assert loaded.call(x).shape == (2, 16, 16, 16, 1)
     with pytest.raises(Exception):
@@ -76,8 +76,8 @@ def test_export_pinned_batch(tmp_path):
 def test_export_landmark_postprocess(tmp_path):
     task, variables = make_ldmk_task()
     exported = export_predictor(task, variables, (16, 16, 16))
-    loaded = load_exported(save_exported(exported, tmp_path / "l.jaxep")
-                           or tmp_path / "l.jaxep")
+    save_exported(exported, tmp_path / "l.jaxep")
+    loaded = load_exported(tmp_path / "l.jaxep")
     x = jnp.asarray(np.random.default_rng(1).normal(
         size=(2, 16, 16, 16, 1)).astype(np.float32))
     got = np.asarray(loaded.call(x))
@@ -100,3 +100,15 @@ def test_export_cross_platform_tpu_lowering():
     x = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
     out = exported.call(x)
     assert out.shape == (1, 16, 16, 16, 1)
+
+
+def test_detect_task_name():
+    from tpu_mednet.inference.serving import detect_task_name
+
+    assert detect_task_name({"fmaps": 32}) == "SegmentationNet"
+    assert detect_task_name({"loss_regression_weight": None}) == "SegmentationNet"
+    assert detect_task_name(
+        {"loss_regression_weight": [0.01, 0.01]}) == "LandmarkNet"
+    import types
+    ns = types.SimpleNamespace(loss_regression_weight=[0.5], fmaps=8)
+    assert detect_task_name(ns) == "LandmarkNet"

@@ -36,8 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=[96, 96, 96])
     parser.add_argument("--batch_size", type=int, default=None,
                         help="pin the batch axis; default: symbolic (any N)")
-    parser.add_argument("--model", default="SegmentationNet",
-                        choices=["SegmentationNet", "LandmarkNet"])
+    parser.add_argument("--model", default=None,
+                        choices=["SegmentationNet", "LandmarkNet"],
+                        help="default: auto-detect from the checkpoint "
+                             "hparams (landmark runs carry "
+                             "loss_regression_weight)")
     parser.add_argument("--platforms", nargs="*", default=None,
                         help="lowering platforms, e.g. tpu cpu "
                              "(default: current platform)")
@@ -52,7 +55,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger = logging.getLogger("export_serving")
 
     from tpu_mednet.cli.predict import _coerce
-    from tpu_mednet.inference.serving import export_predictor, save_exported
+    from tpu_mednet.inference.serving import (
+        detect_task_name,
+        export_predictor,
+        save_exported,
+    )
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, load_for_inference
     from tpu_mednet.train.checkpoint import CheckpointManager
@@ -70,7 +77,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         )
     hparams = types.SimpleNamespace(**{k: _coerce(v) for k, v in hp.items()})
 
-    if args.model == "LandmarkNet":
+    detected = detect_task_name(hp)
+    model_name = args.model
+    if model_name is None:
+        model_name = detected
+        logger.info("--model not set; detected %s from the checkpoint "
+                    "hparams", model_name)
+    elif model_name != detected:
+        raise ValueError(
+            f"--model {model_name} but the checkpoint hparams say it was "
+            f"trained as {detected} (loss_regression_weight "
+            f"{'present' if detected == 'LandmarkNet' else 'absent'}); "
+            f"exporting into the wrong task would bake the wrong "
+            f"postprocess into the artifact"
+        )
+    if model_name == "LandmarkNet":
         task = LandmarkTask.from_hparams(hparams)
     else:
         task = SegmentationTask.from_hparams(hparams)
@@ -88,7 +109,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     save_exported(exported, args.out)
     logger.info(
         "exported %s (%s, patch %s, batch %s, platforms %s) -> %s",
-        args.model, checkpoint_path, args.patch_size,
+        model_name, checkpoint_path, args.patch_size,
         args.batch_size if args.batch_size is not None else "symbolic",
         list(exported.platforms), args.out,
     )

@@ -59,7 +59,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     prediction_group = pred.get("group", "prediction")
     checkpoint_path = replace_env(pred["checkpoint"])
     chunk_size = pred.get("chunk_size", 16)
-    model_name = pred.get("model", "SegmentationNet")
+    model_name = pred.get("model")  # default: auto-detect from hparams
     stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian' | 'device'
     n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
 
@@ -95,29 +95,55 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         k: _coerce(v) for k, v in (hp_restored or {}).items()
     })
 
+    from tpu_mednet.inference.serving import detect_task_name
+    detected = detect_task_name(hp_restored)
+    if model_name is None:
+        model_name = detected
+        logger.info("prediction.model not set; detected %s from the "
+                    "checkpoint hparams", model_name)
+    elif model_name != detected:
+        raise ValueError(
+            f"prediction.model={model_name!r} but the checkpoint hparams "
+            f"say it was trained as {detected!r} (loss_regression_weight "
+            f"{'present' if detected == 'LandmarkNet' else 'absent'}); "
+            f"restoring into the wrong task silently bakes the wrong "
+            f"postprocess — fix prediction.model or the checkpoint path"
+        )
     if model_name == "LandmarkNet":
         task = LandmarkTask.from_hparams(hparams)
-    elif model_name == "SegmentationNet":
-        task = SegmentationTask.from_hparams(hparams)
     else:
-        raise ValueError(f"unknown prediction.model {model_name!r}")
+        task = SegmentationTask.from_hparams(hparams)
 
     mesh = None
     devices = None
     if n_devices and n_devices > 1:
         import jax
-        from tpu_mednet.parallel.mesh import make_mesh
-        n = min(n_devices, len(jax.devices()))
-        mesh = make_mesh(n_data=n)
-        # on-device pipelines parallelize by dealing whole volumes
-        # round-robin across chips instead of sharding patch batches
-        devices = list(jax.devices())[:n]
+        if stitch in ("device", "gaussian"):
+            # on-device pipelines parallelize by dealing whole volumes
+            # round-robin across chips; they need ADDRESSABLE devices (a
+            # process cannot commit arrays to another host's chips)
+            local = jax.local_devices()
+            devices = local[:min(n_devices, len(local))]
+        else:
+            from tpu_mednet.parallel.mesh import make_mesh
+            mesh = make_mesh(n_data=min(n_devices, len(jax.devices())))
 
     in_ch = task.model.config.in_channels
     template = create_train_state(
         task.model, (1, *patch_size, in_ch), learning_rate=1e-3,
     )
     variables, _ = load_for_inference(checkpoint_path, template)
+
+    placement = None
+    if devices:
+        # place the weights on every device ONCE — the per-chunk pipeline
+        # calls reuse the resident copies instead of re-uploading
+        from tpu_mednet.inference.common import (
+            RoundRobinPlacement,
+            round_robin_placement,
+        )
+        devs, per_dev, _ = round_robin_placement(variables, devices)
+        placement = RoundRobinPlacement(devs, per_dev)
 
     for c, chunk in enumerate(chunks):
         logger.info("chunk %d/%d", c, chunk_num)
@@ -126,7 +152,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
-                pad_mode="constant", devices=devices,
+                pad_mode="constant", devices=placement,
             )
         elif stitch == "gaussian":
             # on-device accumulate (equivalence-tested vs the host
@@ -135,7 +161,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
-                pad_mode="constant", devices=devices,
+                pad_mode="constant", devices=placement,
             )
         else:
             results = predict_volumes(

@@ -1,5 +1,10 @@
+from tpu_mednet.inference.common import (
+    RoundRobinPlacement,
+    round_robin_placement,
+)
 from tpu_mednet.inference.device_sliding import predict_volumes_on_device
 from tpu_mednet.inference.serving import (
+    detect_task_name,
     export_predictor,
     load_exported,
     make_serving_fn,
@@ -23,4 +28,7 @@ __all__ = [
     "save_exported",
     "load_exported",
     "make_serving_fn",
+    "detect_task_name",
+    "RoundRobinPlacement",
+    "round_robin_placement",
 ]

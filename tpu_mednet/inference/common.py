@@ -11,7 +11,7 @@ silently apply to one stitcher and not the other.
 from __future__ import annotations
 
 import weakref
-from typing import Callable, Dict, Hashable, Iterable, Tuple
+from typing import Callable, Dict, Hashable, Iterable, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,17 +60,42 @@ def run_pipelined(items: Iterable[Tuple], dispatch: Callable,
         finalize(*pending.popleft())
 
 
+class RoundRobinPlacement(NamedTuple):
+    """Per-device replicated variables for round-robin volume dispatch.
+
+    Build ONCE with ``round_robin_placement`` and reuse across pipeline
+    calls (e.g. the predict CLI's per-chunk loop) — re-placing the full
+    parameter pytree per call re-uploads ~140 MB x n_devices of weights
+    that are already resident.
+    """
+
+    devices: List
+    vars_per_dev: List
+
+
 def round_robin_placement(variables, devices):
     """Pre-place ``variables`` on every device for round-robin dispatch.
 
-    Returns ``(devs, vars_per_dev, depth)``: ``devs`` is None when no
-    multi-device placement is requested (single-device fast path), else the
-    device list with one replicated copy of the variables per device.
-    Volumes are then dealt round-robin — volume ``i`` runs on
-    ``devs[i % len(devs)]`` — the data-parallel inference layout
-    (reference parallelism surface: the PL ``gpus=N`` flag,
-    `/root/reference/examples/train_seg.py:126`).
+    ``devices`` may be a device list or an existing ``RoundRobinPlacement``
+    (passed through untouched — the weights are already resident).  Returns
+    ``(devs, vars_per_dev, depth)``: ``devs`` is None when no multi-device
+    placement is requested (single-device fast path), else the device list
+    with one replicated copy of the variables per device.  Volumes are then
+    dealt round-robin — volume ``i`` runs on ``devs[i % len(devs)]`` — the
+    data-parallel inference layout (reference parallelism surface: the PL
+    ``gpus=N`` flag, `/root/reference/examples/train_seg.py:126`).
+
+    Multi-process note: pass ADDRESSABLE devices (``jax.local_devices()``)
+    — a single-controller process cannot commit arrays to another host's
+    devices.
+
+    Compile note: jit caches key on input placement, so the same predictor
+    compiles once PER DEVICE at a given volume shape (n small compiles on
+    a real host; on the axon remote-compile tunnel this serializes the
+    first pass — see docs/PERFORMANCE.md).
     """
+    if isinstance(devices, RoundRobinPlacement):
+        return devices.devices, devices.vars_per_dev, len(devices.devices)
     devs = list(devices) if devices is not None else None
     if not devs:
         return None, None, 1

@@ -28,13 +28,27 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
-def make_serving_fn(task, variables, in_dtype=jnp.float32):
+def detect_task_name(hparams) -> str:
+    """'LandmarkNet' or 'SegmentationNet', from a checkpoint's hparams.
+
+    A landmark training run always carries ``loss_regression_weight`` in
+    its hparams (it defines ``num_heatmaps``, reference landmarks.py:57);
+    a segmentation run never does.  Used to fail fast when a CLI would
+    otherwise restore a checkpoint into the wrong task and silently bake
+    the wrong postprocess.
+    """
+    hp = hparams if isinstance(hparams, dict) else vars(hparams)
+    w = hp.get("loss_regression_weight")
+    return "LandmarkNet" if w else "SegmentationNet"
+
+
+def make_serving_fn(task, variables):
     """The (data) -> postprocessed-prediction function served at deploy time.
 
-    ``data`` is (N, X, Y, Z, C) in ``in_dtype``; the compute-dtype cast
-    happens inside (the device-side-cast convention of the inference
-    pipelines).  Output is the task's predict postprocess — uint8 class map,
-    or heatmaps + class probabilities for landmark tasks.
+    ``data`` is (N, X, Y, Z, C); the compute-dtype cast happens inside (the
+    device-side-cast convention of the inference pipelines).  Output is the
+    task's predict postprocess — uint8 class map, or heatmaps + class
+    probabilities for landmark tasks.
     """
     model = task.model
 
@@ -69,7 +83,7 @@ def export_predictor(
     else:
         shape = (int(batch_size), *(int(v) for v in patch_size), in_ch)
     spec = jax.ShapeDtypeStruct(shape, in_dtype)
-    serve = jax.jit(make_serving_fn(task, variables, in_dtype=in_dtype))
+    serve = jax.jit(make_serving_fn(task, variables))
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
