@@ -310,3 +310,50 @@ def test_export_serving_cli_end_to_end(workspace, tmp_path):
     )
     want = np.asarray(task.predict_postprocess(logits))
     np.testing.assert_array_equal(out, want)
+
+
+def test_predict_cli_autodetects_landmark_task(workspace):
+    """prediction.model omitted -> detected from hparams; mismatch refused."""
+    argv = seg_args(
+        workspace,
+        model_dir=str(workspace / "model_ldmk2"),
+        log_dir=str(workspace / "logs_ldmk2"),
+        out_channels=4,
+    )
+    argv = [a for a in argv if a not in ("--loss", "CE")]
+    argv += ["--loss_class", "DICE", "--loss_regression", "L2",
+             "--loss_regression_weight", "0.01", "0.01",
+             "--heatmap_group", "heatmaps"]
+    assert train_ldmks_main(argv) == 0
+
+    (workspace / "test.txt").write_text("subj0\n")
+    pred_cfg = {
+        "base": {"data": str(workspace / "data.h5"), "image_group": "images",
+                 "sigma": [4.0, 4.0]},  # 2 heatmaps
+        "prediction": {
+            "test_set": str(workspace / "test.txt"),
+            "patch_size": [16, 16, 16],
+            "patch_overlap": [4, 4, 4],
+            "batch_size": 4,
+            "data": str(workspace / "pred_ldmk.h5"),
+            "group": "prediction",
+            "checkpoint": str(workspace / "model_ldmk2"),
+            "chunk_size": 2,
+            "stitch": "device",
+            # no "model" key: auto-detected as LandmarkNet from hparams
+        },
+    }
+    cfg_path = workspace / "predict_ldmk.yaml"
+    cfg_path.write_text(yaml.safe_dump(pred_cfg))
+    assert predict_main(["-c", str(cfg_path)]) == 0
+    with h5py.File(workspace / "pred_ldmk.h5") as hf:
+        out = hf["prediction/subj0"][:]
+        # 2 heatmap channels + class map last (landmark postprocess)
+        assert out.shape == (3, 32, 32, 32)
+        assert out.dtype == np.uint8
+
+    # explicit wrong model refused (would bake the wrong postprocess)
+    with pytest.raises(ValueError, match="trained as 'LandmarkNet'"):
+        predict_main(["-c", str(cfg_path),
+                      "prediction.model=SegmentationNet",
+                      f"prediction.data={workspace / 'pred_wrong.h5'}"])
