@@ -46,8 +46,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # host-side tool: never needs (and must not claim) the TPU
     import jax
 
+    prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
+    try:
+        return _run(args)
+    finally:
+        # config restored for in-process callers; backend selection is
+        # process-wide once initialized (fresh process for TPU use after)
+        jax.config.update("jax_platforms", prev_platforms)
 
+
+def _run(args) -> int:
     from tpu_mednet.cli.predict import _coerce
     from tpu_mednet.inference.serving import detect_task_name
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask

@@ -70,7 +70,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # CPU restore on any platform
     import jax
 
+    prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
+    try:
+        return _run(args)
+    finally:
+        # restore the config value for in-process callers; note the backend
+        # SELECTION is already initialized by now, so a caller wanting the
+        # TPU afterwards must run in a fresh process (the CLI normally is
+        # one) — jax does not re-scan platforms after first use
+        jax.config.update("jax_platforms", prev_platforms)
+
+
+def _run(args) -> int:
+    import jax
 
     from tpu_mednet.cli.predict import _coerce
     from tpu_mednet.inference.serving import detect_task_name
@@ -174,6 +187,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     state = template.replace(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", template.batch_stats),
+        # carry the torch run's global_step INTO the state too, so --resume
+        # continues epoch accounting from it (not just the directory label)
+        step=step,
     )
 
     mgr = CheckpointManager(replace_env(args.output))

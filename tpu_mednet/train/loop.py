@@ -43,6 +43,39 @@ from tpu_mednet.utils.metrics_logging import MetricsLogger
 logger = logging.getLogger(__name__)
 
 
+def _check_resume_architecture(hp_prev: dict, config, resume) -> None:
+    """Refuse a --resume whose CLI hparams build a different model.
+
+    Compares the model-defining keys of the checkpoint's hparams side-car
+    (in/out channels and the expanded per-level feature maps) against the
+    model the Trainer just built from the CLI.  An int ``fmaps`` side-car
+    value expands over the checkpoint model family's default 5 levels, a
+    list is taken per-level — matching the factories' semantics."""
+    from tpu_mednet.models.unet import create_feature_maps
+
+    problems = []
+    for key, ours in (("in_channels", config.in_channels),
+                      ("out_channels", config.out_channels)):
+        theirs = hp_prev.get(key)
+        if theirs is not None and int(theirs) != int(ours):
+            problems.append(f"{key}: checkpoint {theirs} vs CLI {ours}")
+    fm = hp_prev.get("fmaps")
+    if fm is not None:
+        theirs = (create_feature_maps(int(fm), 5) if not isinstance(fm, (list, tuple))
+                  else tuple(int(x) for x in fm))
+        if theirs != tuple(config.feature_maps):
+            problems.append(
+                f"feature maps: checkpoint {theirs} vs CLI {tuple(config.feature_maps)}"
+            )
+    if problems:
+        raise ValueError(
+            f"--resume {resume}: the checkpoint was trained with a "
+            f"different architecture ({'; '.join(problems)}). Pass matching "
+            "--fmaps/--in_channels/--out_channels (per-level fmaps lists "
+            "can be given via the -c YAML config)."
+        )
+
+
 class PreemptionGuard:
     """Graceful-preemption handling for long training runs.
 
@@ -210,6 +243,15 @@ class Trainer:
         if resume:
             mgr = self.ckpt if (self.ckpt and str(self.ckpt.directory) == str(resume)) \
                 else CheckpointManager(resume)
+            # fail fast with the actual numbers when the CLI hparams build a
+            # different architecture than the checkpoint holds — orbax's
+            # tree-mismatch error at restore time is unactionable
+            try:
+                hp_prev = mgr.restore_hparams()
+            except Exception:  # hparams side-car optional/corrupt: skip check
+                hp_prev = None
+            if hp_prev:
+                _check_resume_architecture(hp_prev, self.task.model.config, resume)
             state, _ = mgr.restore(state)
             # continue epoch accounting from the restored step so a resumed
             # run trains to the ORIGINAL max_epochs total (PL
