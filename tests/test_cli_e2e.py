@@ -210,6 +210,62 @@ def test_predict_cli_device_stitch_matches_crop(workspace):
                                       b["prediction/subj0"][:])
 
 
+def test_predict_cli_tta(workspace):
+    """prediction.tta=true: mirror TTA engages in the device stitch mode and
+    matches the library-level tta_flips oracle."""
+    import types
+    from tpu_mednet.cli.predict import _coerce
+    from tpu_mednet.data.readers import HDF5Reader
+    from tpu_mednet.inference.device_sliding import predict_volumes_on_device
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import create_train_state, load_for_inference
+    from tpu_mednet.train.checkpoint import CheckpointManager
+
+    train_seg_main(seg_args(workspace))
+    (workspace / "test.txt").write_text("subj0\n")
+    cfg = {
+        "base": {"data": str(workspace / "data.h5"), "image_group": "images",
+                 "sigma": None},
+        "prediction": {
+            "test_set": str(workspace / "test.txt"),
+            "patch_size": [16, 16, 16],
+            "patch_overlap": [4, 4, 4],
+            "channel_selection": None,
+            "batch_size": 4,
+            "data": str(workspace / "pred_tta.h5"),
+            "group": "prediction",
+            "checkpoint": str(workspace / "model"),
+            "chunk_size": 2,
+            "model": "SegmentationNet",
+            "stitch": "device",
+            "tta": True,
+        },
+    }
+    cfg_path = workspace / "predict_tta.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert predict_main(["-c", str(cfg_path)]) == 0
+
+    mgr = CheckpointManager(str(workspace / "model"))
+    hp = mgr.restore_hparams()
+    mgr.close()
+    task = SegmentationTask.from_hparams(
+        types.SimpleNamespace(**{k: _coerce(v) for k, v in hp.items()})
+    )
+    template = create_train_state(
+        task.model, (1, 16, 16, 16, task.model.config.in_channels), 1e-3
+    )
+    variables, _ = load_for_inference(str(workspace / "model"), template)
+    ref = predict_volumes_on_device(
+        task, variables, str(workspace / "data.h5"), ["subj0"],
+        patch_size=[16, 16, 16], patch_overlap=[4, 4, 4], batch_size=4,
+        reader_cls=HDF5Reader, tta_flips=(0, 1, 2),
+    )
+    with h5py.File(workspace / "pred_tta.h5") as f:
+        np.testing.assert_array_equal(
+            f["prediction/subj0"][:], np.asarray(ref["subj0"])
+        )
+
+
 def test_predict_cli_gaussian_stitch(workspace):
     """stitch=gaussian runs the on-device weighted path end-to-end and
     matches the host-accumulation oracle."""

@@ -168,6 +168,62 @@ def test_restore_hparams_missing_sidecar(tmp_path):
         mgr.close()
 
 
+def test_best_checkpoint_tracking(tmp_path):
+    """<model_dir>/best keeps exactly the lowest-val_loss step — the PL 0.9
+    default ModelCheckpoint (monitor='val_loss', save_top_k=1) the reference
+    gets implicitly from Trainer(...) (train_seg.py:122-131)."""
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2), loss="CE")
+    model_dir = tmp_path / "model"
+    trainer = Trainer(task, sampler, val_sampler=sampler, batch_size=2,
+                      max_epochs=1, model_dir=str(model_dir),
+                      hparams={"fmaps": [8, 16]})
+    trainer.fit()
+    assert trainer._best_value is not None
+    first_best = trainer._best_value
+    assert (model_dir / "best").exists()
+    mgr = CheckpointManager(model_dir / "best")
+    try:
+        hp = mgr.restore_hparams()
+        info = hp["_best_monitor"]
+        assert info["metric"] == "val_loss"
+        assert info["value"] == first_best
+        assert info["step"] == mgr.latest_step == 2
+        assert hp["fmaps"] == [8, 16]  # training hparams carried along
+        # best/ is a REGULAR checkpoint dir: predict/export point at it
+        template = create_train_state(task.model, trainer.sample_shape, 1e-3)
+        restored, _ = mgr.restore(template)
+        assert int(restored.step) == 2
+    finally:
+        mgr.close()
+
+    # a worse val metric must NOT overwrite best/
+    trainer.state = trainer.state.replace(step=trainer.state.step + 1)
+    assert not trainer._maybe_save_best({"val_loss": first_best + 1.0})
+    # a better one must
+    assert trainer._maybe_save_best({"val_loss": first_best - 1.0})
+    trainer._ckpt_best.wait()
+    mgr = CheckpointManager(model_dir / "best")
+    try:
+        assert mgr.latest_step == 3
+        assert mgr.restore_hparams()["_best_monitor"]["value"] == first_best - 1.0
+    finally:
+        mgr.close()
+
+    # --resume continues best tracking across the boundary
+    t2 = Trainer(task, sampler, val_sampler=sampler, batch_size=2,
+                 max_epochs=2, model_dir=str(model_dir))
+    t2.init_state(resume=str(model_dir))
+    assert t2._best_value == first_best - 1.0
+
+    # no val sampler / no model_dir: feature inert
+    t3 = Trainer(task, sampler, batch_size=2, max_epochs=1)
+    assert not t3.save_best
+    assert not t3._maybe_save_best({"val_loss": 0.0})
+
+
 def test_landmark_task_train_step():
     reader = make_reader(with_heatmaps=True)
     sampler = PatchSampler(None, ["s"], samples_per_subject=4,

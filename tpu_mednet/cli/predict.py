@@ -62,6 +62,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     model_name = pred.get("model")  # default: auto-detect from hparams
     stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian' | 'device'
     n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
+    # mirror test-time augmentation: true (all spatial axes) | [axes 0..2]
+    from tpu_mednet.inference.common import normalize_tta
+    tta_flips = normalize_tta(pred.get("tta", False))
+    if tta_flips:
+        logger.info("mirror TTA on axes %s (%d forwards per patch)",
+                    tta_flips, 2 ** len(tta_flips))
 
     from tpu_mednet.inference.sliding_window import predict_volumes
     from tpu_mednet.inference.weighted import predict_volumes_weighted_on_device
@@ -152,7 +158,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
-                pad_mode="constant", devices=placement,
+                pad_mode="constant", devices=placement, tta_flips=tta_flips,
             )
         elif stitch == "gaussian":
             # on-device accumulate (equivalence-tested vs the host
@@ -161,7 +167,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 task, variables, data_path, list(chunk),
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
-                pad_mode="constant", devices=placement,
+                pad_mode="constant", devices=placement, tta_flips=tta_flips,
             )
         else:
             results = predict_volumes(
@@ -173,6 +179,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 image_group=image_group,
                 pad_mode="constant",
                 mesh=mesh,
+                tta_flips=tta_flips,
             )
         if prediction_path:
             results.save(replace_env(prediction_path), group=prediction_group)

@@ -103,6 +103,74 @@ def round_robin_placement(variables, devices):
     return devs, vars_per_dev, len(devs)
 
 
+def normalize_tta(tta) -> Tuple[int, ...]:
+    """Canonicalize a config ``tta`` value to a tuple of spatial axes.
+
+    ``False``/``None``/``()`` -> no TTA; ``True`` -> all three spatial axes;
+    a list of ints -> those axes (0=X, 1=Y, 2=Z in patch-size order).
+    """
+    if not tta:
+        return ()
+    if tta is True:
+        return (0, 1, 2)
+    if isinstance(tta, str):
+        raise ValueError(
+            f"tta must be true/false or a list of spatial axes, got {tta!r}"
+        )
+    if isinstance(tta, (int, float)):
+        tta = [int(tta)]
+    axes = tuple(sorted({int(a) for a in tta}))
+    if any(a < 0 or a > 2 for a in axes):
+        raise ValueError(f"tta axes must be spatial (0..2), got {tta!r}")
+    return axes
+
+
+def tta_split_activations(task, variables, patches, flips: Tuple[int, ...] = ()):
+    """Mirror test-time augmentation: mean activations over 2^k flips.
+
+    For every subset of the ``flips`` spatial axes, the patch batch is
+    mirrored, run through ``split_activations`` and mirrored back; the mean
+    is returned.  Class channels average in PROBABILITY space (the softmax
+    sits inside ``split_activations``) and heatmap channels in raw
+    regression space — the standard mirror-TTA ensembling for medical
+    segmentation.  ``flips=()`` is exactly ``split_activations`` (no extra
+    compute).  Axes are spatial indices 0..2 over (N, X, Y, Z, C) patches.
+    """
+    flips = tuple(flips)
+    if not flips:
+        return split_activations(task, variables, patches)
+    from itertools import chain, combinations
+
+    subsets = list(chain.from_iterable(
+        combinations(flips, r) for r in range(len(flips) + 1)
+    ))
+    acc = None
+    for subset in subsets:
+        dims = tuple(a + 1 for a in subset)  # batch axis leads
+        x = jnp.flip(patches, dims) if dims else patches
+        act = split_activations(task, variables, x)
+        act = jnp.flip(act, dims) if dims else act
+        acc = act if acc is None else acc + act
+    return acc / len(subsets)
+
+
+def postprocess_activations(task, act):
+    """uint8 predict postprocess from (already softmaxed) activations.
+
+    The activation-space twin of ``task.predict_postprocess`` (which takes
+    raw logits): argmax over class PROBABILITIES — identical to argmax over
+    logits when no averaging happened — and the reference's heatmap clip to
+    [0, 255] uint8 (predict.py:88-94).  Used by the TTA path, where
+    averaging must happen before the argmax.
+    """
+    num_heatmaps = getattr(task, "num_heatmaps", 0)
+    if num_heatmaps:
+        hm = jnp.clip(act[..., :num_heatmaps], 0.0, 255.0).astype(jnp.uint8)
+        cls = jnp.argmax(act[..., num_heatmaps:], axis=-1)
+        return jnp.concatenate([hm, cls[..., None].astype(jnp.uint8)], axis=-1)
+    return jnp.argmax(act, axis=-1)[..., None].astype(jnp.uint8)
+
+
 def split_activations(task, variables, patches):
     """Model forward + the reference's predict postprocess split.
 

@@ -49,7 +49,7 @@ def _grid_corners(img_size, patch_size, overlap):
 
 def make_device_predictor(task, patch_size: Sequence[int],
                           patch_overlap: Sequence[int], batch_size: int,
-                          pad_mode: str = "constant"):
+                          pad_mode: str = "constant", tta_flips=()):
     """Build the jit'd (variables, volume, corners) -> stitched result fn.
 
     ``volume`` is the UNPADDED (X, Y, Z, C) channels-last volume — padding
@@ -62,6 +62,7 @@ def make_device_predictor(task, patch_size: Sequence[int],
     model = task.model
     px, py, pz = (int(v) for v in patch_size)
     ov = tuple(int(v) for v in patch_overlap)
+    tta_flips = tuple(tta_flips)
 
     @partial(jax.jit, static_argnames=("pads",))
     def run(variables, volume, corners, pads):
@@ -77,10 +78,18 @@ def make_device_predictor(task, patch_size: Sequence[int],
 
         def step(out_vol, corner_batch):
             patches = jax.vmap(gather)(corner_batch)
-            logits = model.apply(
-                variables, patches.astype(model.config.dtype), train=False
-            )
-            processed = task.predict_postprocess(logits)  # (B,...,outC) uint8
+            if tta_flips:
+                from tpu_mednet.inference.common import (
+                    postprocess_activations,
+                    tta_split_activations,
+                )
+                act = tta_split_activations(task, variables, patches, tta_flips)
+                processed = postprocess_activations(task, act)
+            else:
+                logits = model.apply(
+                    variables, patches.astype(model.config.dtype), train=False
+                )
+                processed = task.predict_postprocess(logits)  # (B,...,outC) uint8
             core = processed[
                 :, ov[0]:px - ov[0], ov[1]:py - ov[1], ov[2]:pz - ov[2], :
             ]
@@ -110,12 +119,14 @@ def make_device_predictor(task, patch_size: Sequence[int],
 _PREDICTOR_CACHE: Dict[int, Dict] = {}
 
 
-def _cached_predictor(task, patch_size, patch_overlap, batch_size, pad_mode):
+def _cached_predictor(task, patch_size, patch_overlap, batch_size, pad_mode,
+                      tta_flips=()):
     return per_task_cache(
         _PREDICTOR_CACHE, task,
-        (patch_size, patch_overlap, batch_size, pad_mode),
+        (patch_size, patch_overlap, batch_size, pad_mode, tuple(tta_flips)),
         lambda: make_device_predictor(
-            task, patch_size, patch_overlap, batch_size, pad_mode=pad_mode
+            task, patch_size, patch_overlap, batch_size, pad_mode=pad_mode,
+            tta_flips=tta_flips,
         ),
     )
 
@@ -134,6 +145,7 @@ def predict_volumes_on_device(
     pad_mode: str = "constant",
     out_dtype=np.uint8,
     devices=None,
+    tta_flips=(),
 ) -> VolumeGroup:
     """Drop-in alternative to ``predict_volumes`` with on-device stitching.
 
@@ -157,7 +169,7 @@ def predict_volumes_on_device(
         r.close()
 
     predictor = _cached_predictor(task, tuple(patch_size), tuple(patch_overlap),
-                                  batch_size, pad_mode)
+                                  batch_size, pad_mode, tta_flips=tta_flips)
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
     out_c = getattr(task, "num_heatmaps", 0) + 1

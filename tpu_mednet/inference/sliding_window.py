@@ -50,12 +50,15 @@ def predict_volumes(
     pad_mode: str = "constant",
     out_dtype=np.uint8,
     mesh=None,
+    tta_flips=(),
 ) -> VolumeGroup:
     """Run sliding-window inference over subjects; returns the assembled
     ``VolumeGroup`` (key -> (out_channels, X, Y, Z) volume with affine).
 
     With ``mesh``, patch batches are sharded over the 'data' axis — data-
     parallel inference across chips (``batch_size`` must divide evenly).
+    With ``tta_flips`` (spatial axes 0..2), mirror test-time augmentation
+    averages 2^k flipped forwards per patch before the argmax.
     """
     if out_channels is None:
         out_channels = getattr(task, "num_heatmaps", 0) + 1
@@ -84,7 +87,7 @@ def predict_volumes(
         reader=reader,
         pad_args={"mode": pad_mode},
     )
-    predict_step = make_predict_step(task)
+    predict_step = make_predict_step(task, tta_flips=tta_flips)
 
     n_patches = 0
     for batch in sampler.batches(batch_size, channels_last=True):

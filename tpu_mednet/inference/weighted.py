@@ -34,7 +34,7 @@ from tpu_mednet.inference.common import (
     per_task_cache,
     round_robin_placement,
     run_pipelined,
-    split_activations,
+    tta_split_activations,
 )
 from tpu_mednet.inference.sliding_window import pad_batch
 
@@ -56,7 +56,7 @@ def gaussian_window(patch_size: Sequence[int], sigma_scale: float = 0.125,
 def make_weighted_device_predictor(task, patch_size: Sequence[int],
                                    sigma_scale: float = 0.125,
                                    pad_mode: str = "constant",
-                                   out_dtype=np.uint8):
+                                   out_dtype=np.uint8, tta_flips=()):
     """jit'd (variables, volume, corners, mask, pads) -> stitched volume.
 
     ``corners`` is (n_batches, B, 3) int32 in the padded domain; ``mask``
@@ -73,6 +73,7 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
     px, py, pz = (int(v) for v in patch_size)
     window = gaussian_window((px, py, pz), sigma_scale)
     out_jnp = jnp.dtype(np.dtype(out_dtype))
+    tta_flips = tuple(tta_flips)
 
     @partial(jax.jit, static_argnames=("pads",))
     def run(variables, volume, corners, mask, pads):
@@ -92,7 +93,7 @@ def make_weighted_device_predictor(task, patch_size: Sequence[int],
             acc, wacc = carry
             corner_batch, m = batch
             patches = jax.vmap(gather)(corner_batch)
-            act = split_activations(task, variables, patches)
+            act = tta_split_activations(task, variables, patches, tta_flips)
             wact = act * w[None, ..., None]
 
             def write(i, carry):
@@ -159,6 +160,7 @@ def predict_volumes_weighted_on_device(
     sigma_scale: float = 0.125,
     out_dtype=np.uint8,
     devices=None,
+    tta_flips=(),
 ) -> VolumeGroup:
     """On-device drop-in for ``predict_volumes_weighted``.
 
@@ -181,10 +183,11 @@ def predict_volumes_weighted_on_device(
 
     predictor = per_task_cache(
         _WEIGHTED_PREDICTOR_CACHE, task,
-        (tuple(patch_size), sigma_scale, pad_mode, np.dtype(out_dtype).str),
+        (tuple(patch_size), sigma_scale, pad_mode, np.dtype(out_dtype).str,
+         tuple(tta_flips)),
         lambda: make_weighted_device_predictor(
             task, patch_size, sigma_scale=sigma_scale, pad_mode=pad_mode,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, tta_flips=tta_flips,
         ),
     )
 
@@ -251,6 +254,7 @@ def predict_volumes_weighted(
     pad_mode: str = "constant",
     sigma_scale: float = 0.125,
     out_dtype=np.uint8,
+    tta_flips=(),
 ) -> VolumeGroup:
     """Sliding-window inference with Gaussian-weighted overlap averaging.
 
@@ -271,9 +275,11 @@ def predict_volumes_weighted(
     window = gaussian_window(patch_size, sigma_scale)
     window_dev = jnp.asarray(window)[None, ..., None]
 
+    tta = tuple(tta_flips)
+
     @jax.jit
     def weighted_step(variables, data):
-        return split_activations(task, variables, data) * window_dev
+        return tta_split_activations(task, variables, data, tta) * window_dev
 
     # accumulators: weighted activation sums + weight sums, padded domain
     acc: Dict[str, np.ndarray] = {}

@@ -145,6 +145,8 @@ class Trainer:
         profile_steps: int = 5,
         metric_sinks=(),
         native_loader: Optional[bool] = None,
+        monitor: str = "val_loss",
+        save_best: bool = True,
     ):
         self.task = task
         # route host PatchSamplers through the native batch pipeline (fused
@@ -215,6 +217,15 @@ class Trainer:
 
         self.metrics = MetricsLogger(log_dir, extra_sinks=metric_sinks) if log_dir else None
         self.ckpt = CheckpointManager(model_dir) if model_dir else None
+        # best-val checkpoint (PL 0.9's default checkpoint_callback keeps the
+        # single best-val_loss checkpoint alongside resumable ones, reference
+        # train_seg.py:122-131): a second max_to_keep=1 manager under
+        # <model_dir>/best, written only when `monitor` improves
+        self.monitor = monitor
+        self.save_best = bool(save_best and model_dir)
+        self._model_dir = model_dir
+        self._best_value: Optional[float] = None
+        self._ckpt_best: Optional[CheckpointManager] = None
 
         patch = np.asarray(train_sampler.patch_size)
         in_ch = task.model.config.in_channels
@@ -269,7 +280,58 @@ class Trainer:
         state = jax.device_put(state, self._replicated)
         logger.info("model parameters: %.2fM", param_count(state) / 1e6)
         self.state = state
+        if resume and self.save_best and self._best_dir().exists():
+            # continue best-val tracking across the resume boundary so a
+            # post-resume epoch only overwrites best/ when it actually beats
+            # the pre-preemption best
+            try:
+                hp_best = self._best_mgr().restore_hparams()
+            except Exception:
+                hp_best = None
+            info = (hp_best or {}).get("_best_monitor") or {}
+            if info.get("metric") == self.monitor and info.get("value") is not None:
+                self._best_value = float(info["value"])
+                logger.info(
+                    "resumed best %s=%.6g (step %s)",
+                    self.monitor, self._best_value, info.get("step"),
+                )
         return state
+
+    # -- best-val checkpoint ------------------------------------------------
+
+    def _best_dir(self):
+        from pathlib import Path
+        return Path(self._model_dir) / "best"
+
+    def _best_mgr(self) -> CheckpointManager:
+        if self._ckpt_best is None:
+            self._ckpt_best = CheckpointManager(self._best_dir(), max_to_keep=1)
+        return self._ckpt_best
+
+    def _maybe_save_best(self, val_means: Dict[str, float]) -> bool:
+        """Save ``<model_dir>/best`` when the monitored val metric improves.
+
+        The functional analogue of PL 0.9's default ``ModelCheckpoint``
+        (monitor='val_loss', save_top_k=1, mode='min') the reference gets
+        implicitly from ``Trainer(...)`` (train_seg.py:122-131): best/ holds
+        exactly one checkpoint — the lowest-``monitor`` step so far — and is
+        a regular checkpoint directory, so predict/export point straight at
+        it.  Multi-host safe: val batches are globally assembled, so every
+        process computes the identical mean and takes this branch together.
+        """
+        if not self.save_best or self.monitor not in val_means:
+            return False
+        value = float(val_means[self.monitor])
+        if self._best_value is not None and value >= self._best_value:
+            return False
+        self._best_value = value
+        hp = dict(self.hparams or {})
+        hp["_best_monitor"] = {"metric": self.monitor, "value": value,
+                               "step": int(self.state.step)}
+        self._best_mgr().save(int(self.state.step), self.state, hp)
+        logger.info("new best %s=%.6g at step %d -> %s", self.monitor,
+                    value, int(self.state.step), self._best_dir())
+        return True
 
     # -- epochs -----------------------------------------------------------
 
@@ -383,13 +445,16 @@ class Trainer:
                             "saved, exiting", int(self.state.step), epoch,
                         )
                         break
-                    self.val_epoch(epoch)
+                    val_means = self.val_epoch(epoch)
+                    self._maybe_save_best(val_means)
                     if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:
                         self.ckpt.save(int(self.state.step), self.state, self.hparams)
             finally:
                 self._preempt = None
         if self.ckpt:
             self.ckpt.wait()
+        if self._ckpt_best is not None:
+            self._ckpt_best.wait()
         if self.metrics:
             self.metrics.close()
         return self.state

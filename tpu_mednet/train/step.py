@@ -87,16 +87,26 @@ def make_eval_step(task) -> Callable[[TrainState, Batch], Dict[str, Array]]:
     return jax.jit(step)
 
 
-def make_predict_step(task) -> Callable[[Any, Array], Array]:
+def make_predict_step(task, tta_flips=()) -> Callable[[Any, Array], Array]:
     """jit'd inference step: forward (eval mode) + task postprocessing.
 
     Takes raw variables (not TrainState) so frozen checkpoints restore
     straight into it (reference predict.py:46-50 ``load_from_checkpoint`` +
-    ``freeze``).
+    ``freeze``).  With ``tta_flips`` (spatial axes 0..2), the forward runs
+    mirror test-time augmentation: 2^k flips averaged in activation space
+    before the argmax (``inference.common.tta_split_activations``).
     """
     model = task.model
+    tta_flips = tuple(tta_flips)
 
     def step(variables, data: Array) -> Array:
+        if tta_flips:
+            from tpu_mednet.inference.common import (
+                postprocess_activations,
+                tta_split_activations,
+            )
+            act = tta_split_activations(task, variables, data, tta_flips)
+            return postprocess_activations(task, act)
         outputs = model.apply(variables, data.astype(model.config.dtype), train=False)
         return task.predict_postprocess(outputs)
 
