@@ -62,6 +62,32 @@ def test_export_symbolic_batch_roundtrip(tmp_path):
         assert got.shape == (n, 16, 16, 16, 1)
 
 
+def test_export_with_tta_baked_in(tmp_path):
+    """--tta bakes the mirror-TTA ensemble into the artifact: the call
+    equals postprocess(tta_split_activations) on the same input."""
+    from tpu_mednet.inference.common import (
+        postprocess_activations,
+        tta_split_activations,
+    )
+
+    task, variables = make_seg_task()
+    flips = (0, 2)
+    exported = export_predictor(task, variables, (16, 16, 16),
+                                tta_flips=flips)
+    save_exported(exported, tmp_path / "tta.jaxep")
+    loaded = load_exported(tmp_path / "tta.jaxep")
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32))
+    got = np.asarray(loaded.call(x))
+    want = np.asarray(
+        postprocess_activations(task, tta_split_activations(
+            task, variables, x, flips
+        ))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_pinned_batch(tmp_path):
     task, variables = make_seg_task()
     exported = export_predictor(task, variables, (16, 16, 16), batch_size=2)

@@ -131,6 +131,31 @@ def test_load_for_inference(tmp_path):
         mgr.close()
 
 
+def test_checkpoint_step_selection(tmp_path):
+    """Explicit step restore (predict's prediction.checkpoint_step); a
+    missing step fails fast listing the available steps."""
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2))
+    model_dir = str(tmp_path / "model")
+    Trainer(task, sampler, batch_size=2, max_epochs=2,
+            model_dir=model_dir, hparams={"x": 1}).fit()
+    mgr = CheckpointManager(model_dir)
+    try:
+        assert mgr.latest_step == 4
+        template = create_train_state(task.model, (2, 16, 16, 16, 1), 1e-3)
+        restored, _ = mgr.restore(template, step=2)  # NOT latest
+        assert int(restored.step) == 2
+        assert mgr.restore_hparams(step=2)["x"] == 1
+        with pytest.raises(FileNotFoundError, match="available steps"):
+            mgr.restore_hparams(step=99)
+    finally:
+        mgr.close()
+    variables, _ = load_for_inference(model_dir, template, step=2)
+    assert "params" in variables
+
+
 def test_ckpt_format_checks(tmp_path, caplog):
     import logging as _logging
 

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--platforms", nargs="*", default=None,
                         help="lowering platforms, e.g. tpu cpu "
                              "(default: current platform)")
+    parser.add_argument("--tta", nargs="*", type=int, default=None,
+                        metavar="AXIS",
+                        help="bake mirror test-time augmentation into the "
+                             "artifact: bare --tta flips all three spatial "
+                             "axes; --tta 0 2 flips a subset (8x/4x compute "
+                             "per call)")
     parser.add_argument("--log_level", type=str, default="INFO")
     return parser
 
@@ -102,16 +108,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
     variables, _ = load_for_inference(checkpoint_path, template)
 
+    from tpu_mednet.inference.common import normalize_tta
+    # bare --tta (empty list) means all three axes; absent means none
+    tta_flips = () if args.tta is None else (normalize_tta(args.tta) or (0, 1, 2))
+
     exported = export_predictor(
         task, variables, args.patch_size, batch_size=args.batch_size,
         platforms=tuple(args.platforms) if args.platforms else None,
+        tta_flips=tta_flips,
     )
     save_exported(exported, args.out)
     logger.info(
-        "exported %s (%s, patch %s, batch %s, platforms %s) -> %s",
+        "exported %s (%s, patch %s, batch %s, platforms %s, tta %s) -> %s",
         model_name, checkpoint_path, args.patch_size,
         args.batch_size if args.batch_size is not None else "symbolic",
-        list(exported.platforms), args.out,
+        list(exported.platforms), tta_flips or "off", args.out,
     )
     return 0
 

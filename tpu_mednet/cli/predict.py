@@ -58,6 +58,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     prediction_path = pred.get("data")
     prediction_group = pred.get("group", "prediction")
     checkpoint_path = replace_env(pred["checkpoint"])
+    # optional: pin a saved step (default latest). 'best' is a DIRECTORY
+    # (<model_dir>/best), so point prediction.checkpoint at it instead.
+    checkpoint_step = pred.get("checkpoint_step")
     chunk_size = pred.get("chunk_size", 16)
     model_name = pred.get("model")  # default: auto-detect from hparams
     stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian' | 'device'
@@ -87,9 +90,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # hparams are needed to size the real template; read them via a cheap
     # JSON-only restore path
     from tpu_mednet.train.checkpoint import CheckpointManager
+    if checkpoint_step is not None:
+        checkpoint_step = int(checkpoint_step)
     mgr = CheckpointManager(checkpoint_path)
     try:
-        hp_restored = mgr.restore_hparams()
+        hp_restored = mgr.restore_hparams(step=checkpoint_step)
     finally:
         mgr.close()
     if hp_restored is None:
@@ -138,7 +143,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     template = create_train_state(
         task.model, (1, *patch_size, in_ch), learning_rate=1e-3,
     )
-    variables, _ = load_for_inference(checkpoint_path, template)
+    variables, _ = load_for_inference(checkpoint_path, template,
+                                      step=checkpoint_step)
 
     placement = None
     if devices:

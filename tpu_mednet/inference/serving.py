@@ -42,17 +42,27 @@ def detect_task_name(hparams) -> str:
     return "LandmarkNet" if w else "SegmentationNet"
 
 
-def make_serving_fn(task, variables):
+def make_serving_fn(task, variables, tta_flips: Tuple[int, ...] = ()):
     """The (data) -> postprocessed-prediction function served at deploy time.
 
     ``data`` is (N, X, Y, Z, C); the compute-dtype cast happens inside (the
     device-side-cast convention of the inference pipelines).  Output is the
     task's predict postprocess — uint8 class map, or heatmaps + class
-    probabilities for landmark tasks.
+    probabilities for landmark tasks.  With ``tta_flips`` (spatial axes
+    0..2), mirror test-time augmentation is baked INTO the artifact: 2^k
+    flipped forwards averaged in activation space before the argmax.
     """
     model = task.model
+    tta_flips = tuple(tta_flips)
 
     def serve(data):
+        if tta_flips:
+            from tpu_mednet.inference.common import (
+                postprocess_activations,
+                tta_split_activations,
+            )
+            act = tta_split_activations(task, variables, data, tta_flips)
+            return postprocess_activations(task, act)
         logits = model.apply(
             variables, data.astype(model.config.dtype), train=False
         )
@@ -68,6 +78,7 @@ def export_predictor(
     batch_size: Optional[int] = None,
     in_dtype=jnp.float32,
     platforms: Optional[Tuple[str, ...]] = None,
+    tta_flips: Tuple[int, ...] = (),
 ) -> jax_export.Exported:
     """Lower the task's inference step to a serializable ``Exported``.
 
@@ -83,7 +94,7 @@ def export_predictor(
     else:
         shape = (int(batch_size), *(int(v) for v in patch_size), in_ch)
     spec = jax.ShapeDtypeStruct(shape, in_dtype)
-    serve = jax.jit(make_serving_fn(task, variables))
+    serve = jax.jit(make_serving_fn(task, variables, tta_flips=tta_flips))
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)

@@ -95,7 +95,15 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def _resolve_step(self, step: Optional[int]) -> int:
-        step = step if step is not None else self.latest_step
+        if step is not None:
+            steps = sorted(self._mgr.all_steps())
+            if step not in steps:
+                raise FileNotFoundError(
+                    f"no checkpoint at step {step} in {self.directory} "
+                    f"(available steps: {steps})"
+                )
+            return step
+        step = self.latest_step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")
         return step
