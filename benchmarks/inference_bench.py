@@ -26,7 +26,13 @@ def main():
                     help="patch batch per forward (profiled optimum: 8 — "
                          "matches the predict CLI default; 2 ran the MXU "
                          "at ~1/3 efficiency, see docs/PERFORMANCE.md)")
+    ap.add_argument("--tta", nargs="*", type=int, default=None,
+                    metavar="AXIS",
+                    help="measure with mirror TTA (bare --tta = all three "
+                         "axes): 2^k forwards per patch")
     args = ap.parse_args()
+    tta_flips = () if args.tta is None else (tuple(sorted(set(args.tta)))
+                                             or (0, 1, 2))
 
     import jax
 
@@ -64,6 +70,8 @@ def main():
     vol_tflop = n_patches.shape[0] * unet_forward_flops(
         1, 3, model.config.feature_maps, (args.patch,) * 3, block="residual"
     ) / 1e12
+    # TTA multiplies the executed forward work by 2^k
+    vol_tflop *= 2 ** len(tta_flips)
 
     results = {}
     for name, fn in [
@@ -72,7 +80,7 @@ def main():
     ]:
         common = dict(
             patch_size=(args.patch,) * 3, patch_overlap=(args.overlap,) * 3,
-            batch_size=args.batch, reader=reader,
+            batch_size=args.batch, reader=reader, tta_flips=tta_flips,
         )
         fn(task, variables, None, keys[:1], **common)  # compile warmup
         t0 = time.perf_counter()
@@ -91,6 +99,7 @@ def main():
         "implied_fwd_tflops_device": results["device_tflops"],
         "implied_fwd_tflops_gaussian": results["gaussian_tflops"],
         "batch": args.batch,
+        "tta": list(tta_flips) or False,
         "unit": "volumes/min",
     }))
 

@@ -51,6 +51,40 @@ def test_spatial_auto_pads_odd_x():
     assert out.shape == (1, 50, 16, 16)
 
 
+def test_spatial_tta_matches_single_device():
+    """Whole-volume mirror TTA over the sharded mesh == the single-device
+    postprocess(tta_split_activations) oracle (incl. a flip of the sharded
+    X axis under GSPMD auto mode)."""
+    from tpu_mednet.inference.common import (
+        postprocess_activations,
+        tta_split_activations,
+    )
+
+    task, variables = make_task()
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(1, 64, 16, 16)).astype(np.float32)
+    flips = (0, 2)  # axis 0 is the sharded one
+
+    x = jnp.asarray(np.moveaxis(vol, 0, -1)[None])
+    ref = np.asarray(postprocess_activations(
+        task, tta_split_activations(task, variables, x, flips)
+    ))[0]
+    ref = np.moveaxis(ref, -1, 0)
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    out = predict_volume_spatial(task, variables, vol, mesh, mode="auto",
+                                 tta_flips=flips)
+    np.testing.assert_array_equal(out, ref)
+
+    # explicit halo mode refuses the sharded axis, accepts unsharded ones
+    with pytest.raises(ValueError, match="sharded X axis"):
+        predict_volume_spatial(task, variables, vol, mesh, mode="explicit",
+                               halo=4, tta_flips=(0,))
+    out2 = predict_volume_spatial(task, variables, vol, mesh,
+                                  mode="explicit", halo=4, tta_flips=(2,))
+    assert out2.shape == (1, 64, 16, 16)
+
+
 def test_spatial_explicit_runs():
     task, variables = make_task()
     vol = np.random.default_rng(2).normal(size=(1, 64, 16, 16)).astype(np.float32)

@@ -45,6 +45,7 @@ def predict_volume_spatial(
     mesh,
     mode: str = "auto",
     halo: Optional[int] = None,
+    tta_flips=(),
 ) -> np.ndarray:
     """Run the task's forward+postprocess over one whole volume.
 
@@ -52,8 +53,20 @@ def predict_volume_spatial(
     axis is sharded over the mesh 'space' axis.  X is padded up to a
     multiple of the axis size.  Returns the postprocessed (out_C, X, Y, Z)
     uint8 volume.
+
+    ``tta_flips`` (spatial axes 0..2) runs mirror test-time augmentation
+    over the whole volume.  Under ``mode='auto'`` GSPMD handles a flip of
+    the sharded X axis (collective permute); ``mode='explicit'`` applies
+    the forward per shard, so mirroring the sharded axis (0) is refused —
+    use axes 1/2 there, or 'auto'.
     """
     model = task.model
+    tta_flips = tuple(tta_flips)
+    if mode == "explicit" and 0 in tta_flips:
+        raise ValueError(
+            "explicit halo mode cannot mirror the spatially-sharded X axis "
+            "(axis 0); use tta axes 1/2 there, or mode='auto'"
+        )
     n_space = mesh.shape[SPACE_AXIS]
     x = np.moveaxis(np.asarray(volume, dtype=np.float32), 0, -1)[None]  # NXYZC
 
@@ -66,6 +79,13 @@ def predict_volume_spatial(
         x = np.pad(x, [(0, 0), (0, pad_x), (0, 0), (0, 0), (0, 0)])
 
     def fwd(v):
+        if tta_flips:
+            from tpu_mednet.inference.common import (
+                postprocess_activations,
+                tta_split_activations,
+            )
+            act = tta_split_activations(task, variables, v, tta_flips)
+            return postprocess_activations(task, act)
         logits = model.apply(variables, v.astype(model.config.dtype), train=False)
         return task.predict_postprocess(logits)
 
