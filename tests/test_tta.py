@@ -50,6 +50,7 @@ def test_normalize_tta():
     assert normalize_tta(True) == (0, 1, 2)
     assert normalize_tta([2, 0]) == (0, 2)
     assert normalize_tta(1) == (1,)
+    assert normalize_tta(0) == (0,)  # axis 0 is falsy but valid
     with pytest.raises(ValueError, match="spatial"):
         normalize_tta([3])
 

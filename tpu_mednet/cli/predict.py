@@ -91,7 +91,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # JSON-only restore path
     from tpu_mednet.train.checkpoint import CheckpointManager
     if checkpoint_step is not None:
-        checkpoint_step = int(checkpoint_step)
+        try:
+            checkpoint_step = int(checkpoint_step)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"prediction.checkpoint_step must be an integer step, got "
+                f"{checkpoint_step!r} (for the best-val checkpoint point "
+                f"prediction.checkpoint at <model_dir>/best)"
+            )
     mgr = CheckpointManager(checkpoint_path)
     try:
         hp_restored = mgr.restore_hparams(step=checkpoint_step)

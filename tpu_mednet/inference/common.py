@@ -109,16 +109,20 @@ def normalize_tta(tta) -> Tuple[int, ...]:
     ``False``/``None``/``()`` -> no TTA; ``True`` -> all three spatial axes;
     a list of ints -> those axes (0=X, 1=Y, 2=Z in patch-size order).
     """
-    if not tta:
-        return ()
     if tta is True:
         return (0, 1, 2)
+    if tta is False or tta is None:
+        return ()
     if isinstance(tta, str):
         raise ValueError(
             f"tta must be true/false or a list of spatial axes, got {tta!r}"
         )
+    # a bare int axis (note: 0 is a valid axis, so this must precede any
+    # falsiness check)
     if isinstance(tta, (int, float)):
         tta = [int(tta)]
+    if not tta:
+        return ()
     axes = tuple(sorted({int(a) for a in tta}))
     if any(a < 0 or a > 2 for a in axes):
         raise ValueError(f"tta axes must be spatial (0..2), got {tta!r}")
