@@ -1,0 +1,251 @@
+"""Optimizer/schedule subsystem (train/optim.py).
+
+The reference hardcodes Adam(lr) (segmentation.py:119-120); these tests
+cover the added production knobs: AdamW/SGD, weight decay, global-norm
+clipping, warmup + cosine/linear/poly/step schedules, PL-style
+accumulate_grad_batches, and the resume-compatibility signature.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpu_mednet.train.optim import OptimizerConfig, check_resume_optimizer
+
+
+# -- schedules ---------------------------------------------------------------
+
+def test_warmup_cosine_schedule_endpoints():
+    cfg = OptimizerConfig(learning_rate=1e-2, schedule="cosine",
+                          warmup_steps=10, total_steps=110,
+                          end_lr_factor=0.1)
+    s = cfg.make_schedule()
+    assert float(s(0)) == 0.0
+    assert float(s(10)) == pytest.approx(1e-2)
+    # midway through decay: strictly between the ends
+    assert 1e-3 < float(s(60)) < 1e-2
+    assert float(s(110)) == pytest.approx(1e-3, rel=1e-5)
+
+
+def test_linear_and_poly_schedules():
+    lin = OptimizerConfig(learning_rate=1.0, schedule="linear",
+                          total_steps=100).make_schedule()
+    assert float(lin(50)) == pytest.approx(0.5)
+    poly = OptimizerConfig(learning_rate=1.0, schedule="poly",
+                           total_steps=100, poly_power=1.0).make_schedule()
+    assert float(poly(50)) == pytest.approx(0.5)
+
+
+def test_step_schedule_staircase():
+    cfg = OptimizerConfig(learning_rate=1.0, schedule="step",
+                          lr_decay_every=10, lr_decay_rate=0.5)
+    s = cfg.make_schedule()
+    assert float(s(9)) == pytest.approx(1.0)
+    assert float(s(10)) == pytest.approx(0.5)
+    assert float(s(25)) == pytest.approx(0.25)
+
+
+def test_total_steps_resolution_counts_optimizer_steps():
+    cfg = OptimizerConfig(schedule="cosine", accumulate_grad_batches=4)
+    resolved = cfg.resolve_total_steps(400)  # 400 micro-batches
+    assert resolved.total_steps == 100
+    # explicit total_steps wins
+    explicit = dataclasses.replace(cfg, total_steps=7).resolve_total_steps(400)
+    assert explicit.total_steps == 7
+    # constant schedule needs no horizon
+    assert OptimizerConfig().resolve_total_steps(400).total_steps == 0
+
+
+def test_lr_at_is_in_micro_steps():
+    cfg = OptimizerConfig(learning_rate=1.0, schedule="step",
+                          lr_decay_every=10, lr_decay_rate=0.5,
+                          accumulate_grad_batches=2)
+    # 20 micro-steps = 10 optimizer steps -> first decay
+    assert cfg.lr_at(19) == pytest.approx(1.0)
+    assert cfg.lr_at(20) == pytest.approx(0.5)
+
+
+# -- optimizer builds --------------------------------------------------------
+
+def _params():
+    return {"w": jnp.ones((4,), jnp.float32) * 2.0}
+
+
+def test_default_build_tree_matches_plain_adam():
+    """constant+no-warmup keeps the historic optax.adam(lr) state tree so
+    pre-flag checkpoints keep restoring."""
+    ours = OptimizerConfig(learning_rate=1e-3).build().init(_params())
+    historic = optax.adam(1e-3).init(_params())
+    assert jax.tree_util.tree_structure(ours) == \
+        jax.tree_util.tree_structure(historic)
+
+
+def test_adamw_decays_weights():
+    p = _params()
+    g = {"w": jnp.zeros((4,), jnp.float32)}
+    adamw = OptimizerConfig(name="adamw", learning_rate=0.1,
+                            weight_decay=0.1).build()
+    u, _ = adamw.update(g, adamw.init(p), p)
+    # zero grads: the only update term is -lr * wd * p
+    np.testing.assert_allclose(np.asarray(u["w"]), -0.1 * 0.1 * 2.0, rtol=1e-5)
+    adam = OptimizerConfig(learning_rate=0.1).build()
+    u0, _ = adam.update(g, adam.init(p), p)
+    np.testing.assert_allclose(np.asarray(u0["w"]), 0.0, atol=1e-7)
+
+
+def test_sgd_with_l2_and_momentum():
+    p = _params()
+    g = {"w": jnp.ones((4,), jnp.float32)}
+    cfg = OptimizerConfig(name="sgd", learning_rate=0.1, weight_decay=0.01,
+                          momentum=0.0)
+    tx = cfg.build()
+    u, _ = tx.update(g, tx.init(p), p)
+    # coupled L2: grad + wd*p, scaled by -lr
+    np.testing.assert_allclose(np.asarray(u["w"]), -0.1 * (1 + 0.01 * 2.0),
+                               rtol=1e-5)
+
+
+def test_grad_clip_bounds_update():
+    p = _params()
+    huge = {"w": jnp.ones((4,), jnp.float32) * 1e6}
+    cfg = OptimizerConfig(name="sgd", learning_rate=1.0, momentum=0.0,
+                          grad_clip_norm=1.0)
+    tx = cfg.build()
+    u, _ = tx.update(huge, tx.init(p), p)
+    assert float(jnp.linalg.norm(u["w"])) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_accumulation_updates_every_k_and_averages():
+    p = _params()
+    k = 3
+    cfg = OptimizerConfig(name="sgd", learning_rate=0.5, momentum=0.0,
+                          accumulate_grad_batches=k)
+    tx = cfg.build()
+    s = tx.init(p)
+    grads = [{"w": jnp.full((4,), float(i + 1))} for i in range(k)]
+    cur = p
+    for i, g in enumerate(grads):
+        u, s = tx.update(g, s, cur)
+        cur = optax.apply_updates(cur, u)
+        if i < k - 1:  # accumulating: params must not move
+            np.testing.assert_allclose(np.asarray(cur["w"]),
+                                       np.asarray(p["w"]))
+    # k-th micro-batch applies sgd on the MEAN gradient (2.0)
+    np.testing.assert_allclose(np.asarray(cur["w"]), 2.0 - 0.5 * 2.0,
+                               rtol=1e-5)
+
+
+# -- validation and hparams --------------------------------------------------
+
+def test_config_validation_errors():
+    with pytest.raises(ValueError, match="adamw"):
+        OptimizerConfig(name="adam", weight_decay=0.1)
+    with pytest.raises(ValueError, match="lr_decay_every"):
+        OptimizerConfig(schedule="step")
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        OptimizerConfig(name="lamb")
+    with pytest.raises(ValueError, match="accumulate"):
+        OptimizerConfig(accumulate_grad_batches=0)
+
+
+def test_from_hparams_aliases():
+    import argparse
+    hp = argparse.Namespace(optimizer="adamw", lr_schedule="cosine",
+                            learning_rate=3e-4, weight_decay=0.01,
+                            warmup_steps=5, batch_size=4, fmaps=8)
+    cfg = OptimizerConfig.from_hparams(hp)
+    assert cfg.name == "adamw" and cfg.schedule == "cosine"
+    assert cfg.learning_rate == 3e-4 and cfg.warmup_steps == 5
+
+
+# -- resume signature --------------------------------------------------------
+
+def test_resume_guard_value_changes_ok_structure_changes_raise():
+    ours = OptimizerConfig(name="adamw", learning_rate=1e-3,
+                           weight_decay=0.01, grad_clip_norm=1.0)
+    # same structure, different values: fine
+    check_resume_optimizer(
+        {"optimizer": "adamw", "weight_decay": 0.1, "grad_clip_norm": 5.0},
+        ours, "ckpt")
+    # different family: refuse with the mismatch named
+    with pytest.raises(ValueError, match="optimizer: checkpoint"):
+        check_resume_optimizer({"optimizer": "adam"}, ours, "ckpt")
+    # clipping toggled: tree differs
+    with pytest.raises(ValueError, match="grad_clip"):
+        check_resume_optimizer(
+            {"optimizer": "adamw", "grad_clip_norm": 0.0}, ours, "ckpt")
+
+
+def test_resume_guard_preflag_sidecar_is_plain_adam():
+    # rounds 1-3 side-cars carry none of the optimizer keys
+    check_resume_optimizer({"fmaps": 8, "batch_size": 4},
+                           OptimizerConfig(learning_rate=5e-4), "ckpt")
+    with pytest.raises(ValueError):
+        check_resume_optimizer({"fmaps": 8},
+                               OptimizerConfig(name="adamw"), "ckpt")
+
+
+# -- end-to-end through the Trainer -------------------------------------------
+
+def test_trainer_with_schedule_and_accumulation(tmp_path):
+    from tests.test_train import make_reader, tiny_model
+    from tpu_mednet.data import PatchSampler
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import Trainer
+
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(2), loss="DICE")
+    optim = OptimizerConfig(name="adamw", learning_rate=1e-2,
+                            weight_decay=0.01, grad_clip_norm=1.0,
+                            schedule="cosine", warmup_steps=1,
+                            accumulate_grad_batches=2)
+    trainer = Trainer(
+        task, sampler, batch_size=2, max_epochs=3, learning_rate=1e-2,
+        model_dir=str(tmp_path / "m"), log_dir=str(tmp_path / "l"),
+        optim=optim, log_every=1,
+    )
+    # horizon auto-filled: 3 epochs x 2 micro-steps / accumulate 2 = 3
+    assert trainer.optim.total_steps == 3
+    state = trainer.fit()
+    assert int(state.step) == 6
+    import json
+    lrs = [json.loads(l).get("lr") for l in
+           (tmp_path / "l" / "metrics.jsonl").read_text().splitlines()]
+    lrs = [v for v in lrs if v is not None]
+    assert len(lrs) >= 3 and lrs[-1] < max(lrs)  # cosine decayed
+
+
+def test_trainer_resume_optimizer_mismatch_raises(tmp_path):
+    from tests.test_train import make_reader, tiny_model
+    from tpu_mednet.data import PatchSampler
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import Trainer
+
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+
+    def make_trainer(optim, hparams):
+        return Trainer(
+            SegmentationTask(model=tiny_model(2), loss="DICE"), sampler,
+            batch_size=2, max_epochs=1, model_dir=str(tmp_path / "m"),
+            optim=optim, hparams=hparams,
+        )
+
+    make_trainer(OptimizerConfig(), {"optimizer": "adam"}).fit()
+    with pytest.raises(ValueError, match="optimizer state"):
+        make_trainer(
+            OptimizerConfig(name="adamw"), {"optimizer": "adamw"}
+        ).init_state(resume=str(tmp_path / "m"))
+    # same structure resumes fine (different lr value)
+    resumed = make_trainer(
+        OptimizerConfig(learning_rate=1e-4), {"optimizer": "adam"}
+    )
+    resumed.init_state(resume=str(tmp_path / "m"))
+    assert int(resumed.state.step) == 2

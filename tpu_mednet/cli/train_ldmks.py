@@ -50,7 +50,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from tpu_mednet.ops.augment import AugmentConfig
     from tpu_mednet.parallel.mesh import make_mesh
     from tpu_mednet.tasks import LandmarkTask
-    from tpu_mednet.train import Trainer
+    from tpu_mednet.train import OptimizerConfig, Trainer
     from tpu_mednet.utils.plots import make_landmark_sample_visualizer
     from tpu_mednet.utils.neptune_logger import maybe_create_neptune_run
     import jax
@@ -129,6 +129,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         hparams=vars(hparams),
         metric_sinks=(neptune_sink,),
         native_loader=hparams.native_loader,
+        optim=OptimizerConfig.from_hparams(hparams),
+        check_val_every_n_epoch=hparams.check_val_every_n_epoch,
+        early_stop_patience=hparams.early_stop_patience,
+        early_stop_min_delta=hparams.early_stop_min_delta,
+        limit_train_batches=hparams.limit_train_batches,
+        limit_val_batches=hparams.limit_val_batches,
     )
     trainer.fit(resume=hparams.resume)
     return 0

@@ -123,6 +123,67 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
                         help="force the numpy batch pipeline")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
+    add_optimizer_args(parser)
+    add_runtime_control_args(parser)
+
+
+def add_runtime_control_args(parser: argparse.ArgumentParser) -> None:
+    """PL Trainer runtime knobs (reference train_seg.py:122-132 gets these
+    from ``pl.Trainer``): val frequency, early stopping, epoch limits."""
+    parser.add_argument("--check_val_every_n_epoch", type=int, default=1,
+                        help="run validation every N epochs (PL Trainer arg)")
+    parser.add_argument("--early_stop_patience", type=int, default=0,
+                        help="stop after N val checks without val_loss "
+                             "improving by > --early_stop_min_delta "
+                             "(PL EarlyStopping; 0 = off)")
+    parser.add_argument("--early_stop_min_delta", type=float, default=0.0)
+    parser.add_argument("--limit_train_batches", type=int, default=0,
+                        help="cap train batches per epoch (0 = full epoch)")
+    parser.add_argument("--limit_val_batches", type=int, default=0,
+                        help="cap val batches per epoch (0 = all)")
+
+
+def add_optimizer_args(parser: argparse.ArgumentParser) -> None:
+    """Optimizer/schedule flags (train/optim.py OptimizerConfig surface).
+
+    Defaults reproduce the reference's plain ``Adam(lr)``
+    (segmentation.py:119-120); everything else is additive capability.
+    """
+    parser.add_argument("--optimizer", choices=["adam", "adamw", "sgd"],
+                        default="adam")
+    parser.add_argument("--weight_decay", type=float, default=0.0,
+                        help="decoupled weight decay (adamw) or coupled "
+                             "L2 (sgd)")
+    parser.add_argument("--beta1", type=float, default=0.9)
+    parser.add_argument("--beta2", type=float, default=0.999)
+    parser.add_argument("--adam_eps", dest="eps", type=float, default=1e-8)
+    parser.add_argument("--momentum", type=float, default=0.9,
+                        help="sgd momentum")
+    parser.add_argument("--nesterov", action="store_true")
+    parser.add_argument("--grad_clip_norm", type=float, default=0.0,
+                        help="clip gradients by global norm (0 = off)")
+    parser.add_argument("--lr_schedule",
+                        choices=["constant", "cosine", "linear", "poly",
+                                 "step"],
+                        default="constant")
+    parser.add_argument("--warmup_steps", type=int, default=0,
+                        help="linear LR warmup from 0 over this many steps")
+    parser.add_argument("--total_steps", type=int, default=0,
+                        help="schedule horizon; 0 = steps_per_epoch * "
+                             "max_epochs")
+    parser.add_argument("--end_lr_factor", type=float, default=0.0,
+                        help="final lr = learning_rate * factor "
+                             "(cosine/linear/poly)")
+    parser.add_argument("--poly_power", type=float, default=0.9)
+    parser.add_argument("--lr_decay_every", type=int, default=0,
+                        help="step schedule: decay every N steps")
+    parser.add_argument("--lr_decay_rate", type=float, default=0.1,
+                        help="step schedule: multiply lr by this each decay")
+    parser.add_argument("--accumulate_grad_batches", type=int, default=1,
+                        help="apply the optimizer every k micro-batches on "
+                             "the averaged gradient (PL "
+                             "accumulate_grad_batches): effective batch = "
+                             "k * batch_size without the HBM cost")
 
 
 def add_seg_model_args(parser: argparse.ArgumentParser) -> None:

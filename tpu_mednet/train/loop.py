@@ -36,6 +36,7 @@ from tpu_mednet.parallel.mesh import (
     train_batch_sharding,
 )
 from tpu_mednet.train.checkpoint import CheckpointManager
+from tpu_mednet.train.optim import OptimizerConfig, check_resume_optimizer
 from tpu_mednet.train.state import TrainState, create_train_state, param_count
 from tpu_mednet.train.step import make_eval_step, make_train_step
 from tpu_mednet.utils.metrics_logging import MetricsLogger
@@ -147,6 +148,12 @@ class Trainer:
         native_loader: Optional[bool] = None,
         monitor: str = "val_loss",
         save_best: bool = True,
+        optim: Optional[OptimizerConfig] = None,
+        check_val_every_n_epoch: int = 1,
+        early_stop_patience: int = 0,
+        early_stop_min_delta: float = 0.0,
+        limit_train_batches: int = 0,
+        limit_val_batches: int = 0,
     ):
         self.task = task
         # route host PatchSamplers through the native batch pipeline (fused
@@ -223,6 +230,29 @@ class Trainer:
         # <model_dir>/best, written only when `monitor` improves
         self.monitor = monitor
         self.save_best = bool(save_best and model_dir)
+        # PL Trainer runtime knobs (reference train_seg.py:122-132 gets these
+        # from pl.Trainer): check_val_every_n_epoch gates val frequency;
+        # early stopping is PL's EarlyStopping(monitor, patience, min_delta,
+        # mode='min') — stop after `patience` consecutive val checks without
+        # a > min_delta improvement.  Multi-host safe: val batches are
+        # globally assembled, so every process computes the identical mean
+        # and takes the stop branch together.
+        if check_val_every_n_epoch < 1:
+            raise ValueError("check_val_every_n_epoch must be >= 1")
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        if early_stop_patience and val_sampler is None:
+            raise ValueError(
+                "early_stop_patience needs a validation set (the monitored "
+                f"metric {monitor!r} comes from val epochs)"
+            )
+        self.early_stop_patience = early_stop_patience
+        self.early_stop_min_delta = early_stop_min_delta
+        self._es_best: Optional[float] = None
+        self._es_stale = 0
+        # bound epochs for smoke runs (PL train/val_percent_check analogue,
+        # absolute batch counts; 0 = full epoch)
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
         self._model_dir = model_dir
         self._best_value: Optional[float] = None
         self._ckpt_best: Optional[CheckpointManager] = None
@@ -244,11 +274,24 @@ class Trainer:
                 "for multi-host input pipelines"
             )
 
+        # optimizer/schedule config: default = the reference's plain
+        # Adam(lr) (segmentation.py:119-120); schedules with a run-length
+        # horizon get total_steps filled from this run's shape
+        self._steps_per_epoch = max(
+            len(self.train_sampler) // self.local_batch_size, 1
+        )
+        if limit_train_batches:
+            self._steps_per_epoch = min(self._steps_per_epoch,
+                                        limit_train_batches)
+        self.optim = (optim or OptimizerConfig(learning_rate=learning_rate)) \
+            .resolve_total_steps(self._steps_per_epoch * max_epochs)
+
     # -- lifecycle --------------------------------------------------------
 
     def init_state(self, resume: Optional[str] = None) -> TrainState:
         state = create_train_state(
-            self.task.model, self.sample_shape, self.learning_rate, seed=self.seed
+            self.task.model, self.sample_shape, self.learning_rate,
+            seed=self.seed, optimizer=self.optim.build(),
         )
         self.start_epoch = 0
         if resume:
@@ -263,16 +306,14 @@ class Trainer:
                 hp_prev = None
             if hp_prev:
                 _check_resume_architecture(hp_prev, self.task.model.config, resume)
+                check_resume_optimizer(hp_prev, self.optim, resume)
             state, _ = mgr.restore(state)
             # continue epoch accounting from the restored step so a resumed
             # run trains to the ORIGINAL max_epochs total (PL
             # resume_from_checkpoint semantics, reference train_seg.py:123-125)
             # sampler len is per-host (keys pre-sharded), so divide by the
             # per-host batch rows to get global steps per epoch
-            steps_per_epoch = max(
-                len(self.train_sampler) // self.local_batch_size, 1
-            )
-            self.start_epoch = int(state.step) // steps_per_epoch
+            self.start_epoch = int(state.step) // self._steps_per_epoch
             logger.info(
                 "resumed from %s at step %d (epoch %d)",
                 resume, int(state.step), self.start_epoch,
@@ -333,6 +374,30 @@ class Trainer:
                     value, int(self.state.step), self._best_dir())
         return True
 
+    def _should_early_stop(self, val_means: Dict[str, float]) -> bool:
+        """PL EarlyStopping(monitor, patience, min_delta, mode='min').
+
+        Counts consecutive val checks without a ``> min_delta`` improvement
+        of ``monitor``; returns True once the count reaches ``patience``.
+        """
+        if not self.early_stop_patience or self.monitor not in val_means:
+            return False
+        value = float(val_means[self.monitor])
+        if self._es_best is None or \
+                value < self._es_best - self.early_stop_min_delta:
+            self._es_best = value
+            self._es_stale = 0
+            return False
+        self._es_stale += 1
+        if self._es_stale >= self.early_stop_patience:
+            logger.info(
+                "early stopping: %s has not improved by > %g for %d val "
+                "checks (best %.6g)", self.monitor,
+                self.early_stop_min_delta, self._es_stale, self._es_best,
+            )
+            return True
+        return False
+
     # -- epochs -----------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -348,6 +413,8 @@ class Trainer:
         n_batches = 0
         for batch in batch_iter:
             if self._preempt is not None and self._preempt.triggered:
+                break
+            if self.limit_train_batches and n_batches >= self.limit_train_batches:
                 break
             t0 = time.perf_counter()
             if self.profile_dir and epoch == 0 and n_batches == 1:
@@ -366,6 +433,7 @@ class Trainer:
             if (n_batches % self.log_every) == 0:
                 # sync + log (forces host transfer of the scalars only)
                 scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["lr"] = self.optim.lr_at(int(self.state.step))
                 if self.metrics:
                     self.metrics.log_scalars(int(self.state.step), scalars)
                 last_metrics = scalars
@@ -409,6 +477,8 @@ class Trainer:
         else:
             batch_iter = device_prefetch(host_iter, sharding=self._batch_sharding)
         for i, batch in enumerate(batch_iter):
+            if self.limit_val_batches and i >= self.limit_val_batches:
+                break
             arrays = {"data": batch["data"], "label": batch["label"]}
             metrics = self.eval_step(self.state, arrays)
             if self.sample_visualizer is not None and i % self.log_interval == 0:
@@ -445,10 +515,20 @@ class Trainer:
                             "saved, exiting", int(self.state.step), epoch,
                         )
                         break
-                    val_means = self.val_epoch(epoch)
-                    self._maybe_save_best(val_means)
+                    val_means = {}
+                    if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                        val_means = self.val_epoch(epoch)
+                        self._maybe_save_best(val_means)
+                    saved = False
                     if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:
                         self.ckpt.save(int(self.state.step), self.state, self.hparams)
+                        saved = True
+                    if self._should_early_stop(val_means):
+                        if self.ckpt and not saved:
+                            self.ckpt.save(
+                                int(self.state.step), self.state, self.hparams
+                            )
+                        break
             finally:
                 self._preempt = None
         if self.ckpt:
