@@ -83,12 +83,20 @@ def _run(args) -> int:
             task.model, (1, div, div, div, task.model.config.in_channels),
             learning_rate=float(getattr(ns, "learning_rate", 1e-3)),
         )
+        if float(hp.get("ema_decay") or 0.0) > 0.0:
+            # EMA checkpoints carry ema_params; restore them and export the
+            # EMA weights — they are what EMA training deploys
+            template = template.replace(ema_params=template.params)
         state, _ = mgr.restore(template, step=args.step)
         step = args.step if args.step is not None else mgr.latest_step
     finally:
         mgr.close()
 
-    variables = {"params": state.params}
+    params = state.params
+    if state.ema_params is not None:
+        params = state.ema_params
+        logger.info("exporting EMA weights (ema_decay=%s)", hp.get("ema_decay"))
+    variables = {"params": params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
     save_reference_checkpoint(

@@ -184,6 +184,11 @@ def add_optimizer_args(parser: argparse.ArgumentParser) -> None:
                              "the averaged gradient (PL "
                              "accumulate_grad_batches): effective batch = "
                              "k * batch_size without the HBM cost")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="exponential moving average of the weights "
+                             "(e.g. 0.999): validation, checkpoints' best "
+                             "selection and inference use the EMA weights "
+                             "(0 = off)")
 
 
 def add_seg_model_args(parser: argparse.ArgumentParser) -> None:

@@ -149,19 +149,39 @@ class CheckpointManager:
 
 
 def load_for_inference(directory, state_template: TrainState,
-                       step: Optional[int] = None) -> Tuple[Dict[str, Any], Optional[Dict]]:
+                       step: Optional[int] = None,
+                       use_ema: bool = True) -> Tuple[Dict[str, Any], Optional[Dict]]:
     """Load frozen variables + hparams for prediction.
 
     Returns ``(variables, hparams)`` where variables holds ``params`` (and
     ``batch_stats`` when present) — the functional analogue of
     ``load_from_checkpoint(...).freeze()`` (predict.py:46-50).
+
+    When the checkpoint was trained with weight EMA (hparams
+    ``ema_decay`` > 0) the template is widened to restore ``ema_params``
+    and, with ``use_ema`` (default), the EMA weights are the ones
+    returned — they are what EMA training deploys.  ``use_ema=False``
+    selects the raw final params instead.
     """
     mgr = CheckpointManager(directory)
     try:
+        hp = mgr.restore_hparams(step=step)
+        has_ema = bool(hp and float(hp.get("ema_decay") or 0.0) > 0.0)
+        if has_ema and state_template.ema_params is None:
+            # ema_params has the exact structure of params — widen the
+            # template without needing the model
+            state_template = state_template.replace(
+                ema_params=state_template.params
+            )
         state, hparams = mgr.restore(state_template, step=step)
     finally:
         mgr.close()
-    variables = {"params": state.params}
+    params = state.params
+    if use_ema and state.ema_params is not None:
+        params = state.ema_params
+        logger.info("using EMA weights from %s (ema_decay=%s)",
+                    directory, hp.get("ema_decay"))
+    variables = {"params": params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
     return variables, hparams

@@ -219,9 +219,6 @@ class Trainer:
                     f"axis ({n_space})"
                 )
 
-        self.train_step = make_train_step(task, augment=augment)
-        self.eval_step = make_eval_step(task)
-
         self.metrics = MetricsLogger(log_dir, extra_sinks=metric_sinks) if log_dir else None
         self.ckpt = CheckpointManager(model_dir) if model_dir else None
         # best-val checkpoint (PL 0.9's default checkpoint_callback keeps the
@@ -286,12 +283,23 @@ class Trainer:
         self.optim = (optim or OptimizerConfig(learning_rate=learning_rate)) \
             .resolve_total_steps(self._steps_per_epoch * max_epochs)
 
+        # steps are built after the optimizer config resolves: the train
+        # step owns the EMA update and validation monitors the EMA weights
+        # (what gets deployed) when EMA is on
+        self.train_step = make_train_step(
+            task, augment=augment, ema_decay=self.optim.ema_decay
+        )
+        self.eval_step = make_eval_step(
+            task, use_ema=bool(self.optim.ema_decay)
+        )
+
     # -- lifecycle --------------------------------------------------------
 
     def init_state(self, resume: Optional[str] = None) -> TrainState:
         state = create_train_state(
             self.task.model, self.sample_shape, self.learning_rate,
             seed=self.seed, optimizer=self.optim.build(),
+            ema=bool(self.optim.ema_decay),
         )
         self.start_epoch = 0
         if resume:

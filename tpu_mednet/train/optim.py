@@ -60,6 +60,7 @@ class OptimizerConfig:
     lr_decay_every: int = 0            # step schedule: steps between decays
     lr_decay_rate: float = 0.1         # step schedule: multiplicative factor
     accumulate_grad_batches: int = 1   # PL accumulate_grad_batches parity
+    ema_decay: float = 0.0             # weight EMA (0 = off; e.g. 0.999)
 
     def __post_init__(self):
         if self.name not in _OPTIMIZERS:
@@ -76,6 +77,10 @@ class OptimizerConfig:
             )
         if self.accumulate_grad_batches < 1:
             raise ValueError("--accumulate_grad_batches must be >= 1")
+        if self.ema_decay and not (0.0 < self.ema_decay < 1.0):
+            raise ValueError(
+                f"--ema_decay must be in (0, 1), got {self.ema_decay}"
+            )
         if self.name == "adam" and self.weight_decay:
             raise ValueError(
                 "--weight_decay with --optimizer adam is silently ignored "
@@ -207,6 +212,9 @@ class OptimizerConfig:
             "grad_clip": bool(self.grad_clip_norm > 0),
             "accumulate_grad_batches": int(self.accumulate_grad_batches),
             "stateful_schedule": self._is_stateful_schedule(),
+            # EMA lives on the TrainState, not in optax, but it changes the
+            # checkpoint's state tree all the same
+            "ema": bool(self.ema_decay),
             "sgd_weight_decay": bool(
                 self.name == "sgd" and self.weight_decay
             ),
@@ -224,7 +232,8 @@ def check_resume_optimizer(hp_prev: dict, cfg: OptimizerConfig,
     and are treated as the historic plain-Adam configuration.
     """
     keys = ("optimizer", "lr_schedule", "warmup_steps", "grad_clip_norm",
-            "accumulate_grad_batches", "weight_decay", "momentum")
+            "accumulate_grad_batches", "weight_decay", "momentum",
+            "ema_decay")
     if not any(k in hp_prev for k in keys):
         prev = OptimizerConfig()  # pre-flag checkpoint: plain Adam
     else:

@@ -16,10 +16,17 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState + per-step PRNG key + optional BatchNorm stats."""
+    """flax TrainState + per-step PRNG key + optional BatchNorm stats.
+
+    ``ema_params`` (same pytree structure as ``params``, or None) holds an
+    exponential moving average of the weights when EMA is enabled
+    (``OptimizerConfig.ema_decay``); it rides in the state so checkpoints
+    carry it and resume restores it.
+    """
 
     rng: Any = None
     batch_stats: Any = None
+    ema_params: Any = None
 
 
 def create_train_state(
@@ -28,10 +35,13 @@ def create_train_state(
     learning_rate: float,
     seed: int = 0,
     optimizer: Optional[optax.GradientTransformation] = None,
+    ema: bool = False,
 ) -> TrainState:
     """Initialize model params and Adam (reference default) state.
 
     ``sample_batch_shape`` is the (N, X, Y, Z, C) shape used to trace init.
+    With ``ema=True`` the state also tracks ``ema_params``, initialized to
+    a copy of the fresh params.
     """
     init_rng, state_rng = jax.random.split(jax.random.PRNGKey(seed))
     dummy = jnp.zeros(sample_batch_shape, dtype=model.config.dtype)
@@ -39,12 +49,14 @@ def create_train_state(
         init_rng, dummy, train=False
     )
     tx = optimizer if optimizer is not None else optax.adam(learning_rate)
+    params = variables["params"]
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         tx=tx,
         rng=state_rng,
         batch_stats=variables.get("batch_stats"),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
     )
 
 

@@ -25,6 +25,7 @@ def make_train_step(
     task,
     augment: Optional[AugmentConfig] = None,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jit'd training step for a task.
 
@@ -32,8 +33,16 @@ def make_train_step(
     ``(new_state, metrics)`` where metrics includes ``train_loss`` (the
     scalar name the reference logs, segmentation.py:64) plus any task aux
     (class_loss / regression_loss for landmarks, landmarks.py:80-83).
+
+    ``ema_decay`` > 0 maintains ``state.ema_params`` as
+    ``ema = decay * ema + (1 - decay) * params`` inside the same jit (one
+    fused update per step; with gradient accumulation the EMA advances
+    every micro-step against the then-current params).  The state must
+    have been created with ``create_train_state(..., ema=True)``.
     """
     model = task.model
+    if ema_decay and not (0.0 < ema_decay < 1.0):
+        raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
 
     def step(state: TrainState, batch: Batch):
         aug_rng, new_rng = jax.random.split(state.rng)
@@ -66,19 +75,34 @@ def make_train_step(
         new_state = state.apply_gradients(
             grads=grads, rng=new_rng, batch_stats=new_stats
         )
+        if ema_decay and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                state.ema_params, new_state.params,
+            )
+            new_state = new_state.replace(ema_params=new_ema)
         metrics = {"train_loss": loss, **aux}
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(task) -> Callable[[TrainState, Batch], Dict[str, Array]]:
-    """Build the jit'd validation step returning the task's val metrics."""
+def make_eval_step(
+    task, use_ema: bool = False
+) -> Callable[[TrainState, Batch], Dict[str, Array]]:
+    """Build the jit'd validation step returning the task's val metrics.
+
+    With ``use_ema`` the forward runs on ``state.ema_params`` (falling back
+    to the raw params when the state carries no EMA) — validation then
+    monitors the averaged weights, which is what gets deployed.
+    """
     model = task.model
 
     def step(state: TrainState, batch: Batch) -> Dict[str, Array]:
         data = batch["data"].astype(model.config.dtype)
-        variables = {"params": state.params}
+        params = state.ema_params \
+            if (use_ema and state.ema_params is not None) else state.params
+        variables = {"params": params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         outputs = model.apply(variables, data, train=False)
