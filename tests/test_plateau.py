@@ -1,0 +1,177 @@
+"""ReduceLROnPlateau (--lr_schedule plateau).
+
+torch ReduceLROnPlateau semantics the reference's PL-era stack offered via
+``configure_optimizers`` schedulers: after `patience` stale val checks the
+live LR leaf (optax inject_hyperparams) decays by `factor`, floored at
+`min_lr`.  The LR lives in the checkpointed optimizer state, so a resumed
+run keeps the decayed value.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import optax.tree_utils as otu
+import pytest
+
+from tpu_mednet.data import MemoryReader, PatchSampler
+from tpu_mednet.models import UNet3DBase, UNetConfig
+from tpu_mednet.tasks import SegmentationTask
+from tpu_mednet.train import OptimizerConfig, Trainer, create_train_state
+from tpu_mednet.train.optim import (
+    PlateauController,
+    check_resume_optimizer,
+    read_current_lr,
+)
+
+
+def _params():
+    return {"w": jnp.ones((4,), jnp.float32)}
+
+
+def plateau_cfg(**kw):
+    kw.setdefault("learning_rate", 1e-2)
+    kw.setdefault("schedule", "plateau")
+    kw.setdefault("lr_plateau_patience", 2)
+    kw.setdefault("lr_plateau_factor", 0.5)
+    return OptimizerConfig(**kw)
+
+
+def test_plateau_build_exposes_live_lr_leaf():
+    tx = plateau_cfg().build()
+    s = tx.init(_params())
+    assert float(otu.tree_get(s, "learning_rate")) == pytest.approx(1e-2)
+    # works through gradient accumulation too
+    tx2 = plateau_cfg(accumulate_grad_batches=3).build()
+    s2 = tx2.init(_params())
+    assert float(otu.tree_get(s2, "learning_rate")) == pytest.approx(1e-2)
+    # and the update consumes the leaf: decayed LR halves the sgd step
+    cfg = plateau_cfg(name="sgd", momentum=0.0)
+    tx3 = cfg.build()
+    s3 = tx3.init(_params())
+    g = {"w": jnp.ones((4,), jnp.float32)}
+    u1, _ = tx3.update(g, s3, _params())
+    s3b = otu.tree_set(s3, learning_rate=jnp.asarray(5e-3, jnp.float32))
+    u2, _ = tx3.update(g, s3b, _params())
+    np.testing.assert_allclose(np.asarray(u2["w"]), np.asarray(u1["w"]) / 2,
+                               rtol=1e-6)
+
+
+def test_plateau_controller_decays_after_patience_and_floors():
+    cfg = plateau_cfg(min_lr=3e-3)
+    ctl = PlateauController(cfg)
+    s = cfg.build().init(_params())
+    s, lr = ctl.update(s, 1.0)          # sets best
+    assert lr is None
+    s, lr = ctl.update(s, 0.5)          # improvement
+    assert lr is None
+    s, lr = ctl.update(s, 0.5)          # stale 1
+    assert lr is None
+    s, lr = ctl.update(s, 0.5)          # stale 2 -> decay
+    assert lr == pytest.approx(5e-3)
+    assert float(otu.tree_get(s, "learning_rate")) == pytest.approx(5e-3)
+    # counter reset: two more stale checks before the next decay, which
+    # then hits the 3e-3 floor instead of 2.5e-3
+    s, lr = ctl.update(s, 0.5)
+    assert lr is None
+    s, lr = ctl.update(s, 0.5)
+    assert lr == pytest.approx(3e-3)
+    # at the floor: further plateaus change nothing
+    s, lr = ctl.update(s, 0.5)
+    s, lr = ctl.update(s, 0.5)
+    assert lr is None
+    assert float(otu.tree_get(s, "learning_rate")) == pytest.approx(3e-3)
+
+
+def test_plateau_min_delta_counts_tiny_gains_as_stale():
+    cfg = plateau_cfg(lr_plateau_min_delta=0.1)
+    ctl = PlateauController(cfg)
+    s = cfg.build().init(_params())
+    s, _ = ctl.update(s, 1.0)
+    s, lr = ctl.update(s, 0.95)  # within min_delta: stale 1
+    assert lr is None
+    s, lr = ctl.update(s, 0.92)  # stale 2 -> decay
+    assert lr == pytest.approx(5e-3)
+
+
+def test_plateau_validation_errors():
+    with pytest.raises(ValueError, match="warmup"):
+        plateau_cfg(warmup_steps=5)
+    with pytest.raises(ValueError, match="lr_plateau_factor"):
+        plateau_cfg(lr_plateau_factor=1.5)
+    with pytest.raises(ValueError, match="lr_plateau_patience"):
+        plateau_cfg(lr_plateau_patience=0)
+
+
+def test_plateau_resume_guard_structure():
+    ours = plateau_cfg()
+    # plateau <-> constant toggling refuses (inject_hyperparams tree)
+    with pytest.raises(ValueError, match="plateau"):
+        check_resume_optimizer({"optimizer": "adam",
+                                "lr_schedule": "constant"}, ours, "ckpt")
+    check_resume_optimizer({"optimizer": "adam", "lr_schedule": "plateau",
+                            "lr_plateau_factor": 0.3}, ours, "ckpt")
+
+
+def tiny_task():
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=8, num_levels=2,
+        block="residual", layer_order="cge", num_groups=4,
+        dtype=jnp.float32,
+    ))
+    return SegmentationTask(model=model, loss="DICE")
+
+
+def make_sampler(seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (32, 32, 32)
+    lbl = np.zeros((1, *shape), dtype=np.uint8)
+    lbl[0, 8:20, 8:20, 8:20] = 1
+    img = rng.normal(0, 0.1, size=(1, *shape)).astype(np.float32)
+    img[0, 8:20, 8:20, 8:20] += 2.0
+    reader = MemoryReader({"images": {"s": img}, "labels": {"s": lbl}})
+    return PatchSampler(None, ["s"], samples_per_subject=4,
+                        patch_size=[16, 16, 16], reader=reader, seed=seed)
+
+
+def test_trainer_plateau_decays_and_resume_keeps_lr(tmp_path):
+    cfg = plateau_cfg(lr_plateau_patience=1)
+    hparams = {"optimizer": "adam", "lr_schedule": "plateau",
+               "learning_rate": 1e-2, "lr_plateau_patience": 1,
+               "lr_plateau_factor": 0.5}
+    trainer = Trainer(
+        tiny_task(), make_sampler(), val_sampler=make_sampler(),
+        batch_size=2, max_epochs=4, model_dir=str(tmp_path / "m"),
+        log_dir=str(tmp_path / "l"), optim=cfg, hparams=hparams,
+        log_every=1,
+    )
+    # script a plateau: epoch0 best, epochs 1-3 stale -> patience-1 decay
+    # fires at epochs 2, 3, 4 (counter resets after each decay)
+    vals = iter([1.0, 1.0, 1.0, 1.0])
+    trainer.val_epoch = lambda epoch: {"val_loss": next(vals)}
+    state = trainer.fit()
+    lr = read_current_lr(cfg, state.opt_state, int(state.step))
+    assert lr == pytest.approx(1e-2 * 0.5 ** 3)
+
+    # the decayed LR rode into the checkpoint: resume reads it back
+    resumed = Trainer(
+        tiny_task(), make_sampler(), val_sampler=make_sampler(),
+        batch_size=2, max_epochs=4, model_dir=str(tmp_path / "m"),
+        optim=plateau_cfg(lr_plateau_patience=1), hparams=hparams,
+    )
+    rstate = resumed.init_state(resume=str(tmp_path / "m"))
+    rlr = read_current_lr(resumed.optim, rstate.opt_state, int(rstate.step))
+    assert rlr == pytest.approx(1e-2 * 0.5 ** 3)
+
+    # the logged lr followed the decay
+    import json
+    lrs = [json.loads(l).get("lr")
+           for l in (tmp_path / "l" / "metrics.jsonl").read_text().splitlines()]
+    lrs = [v for v in lrs if v is not None]
+    assert lrs[0] == pytest.approx(1e-2)
+    assert min(lrs) < 1e-2
+
+
+def test_trainer_plateau_requires_val_set():
+    with pytest.raises(ValueError, match="validation set"):
+        Trainer(tiny_task(), make_sampler(), batch_size=2,
+                optim=plateau_cfg())

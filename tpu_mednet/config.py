@@ -164,7 +164,7 @@ def add_optimizer_args(parser: argparse.ArgumentParser) -> None:
                         help="clip gradients by global norm (0 = off)")
     parser.add_argument("--lr_schedule",
                         choices=["constant", "cosine", "linear", "poly",
-                                 "step"],
+                                 "step", "plateau"],
                         default="constant")
     parser.add_argument("--warmup_steps", type=int, default=0,
                         help="linear LR warmup from 0 over this many steps")
@@ -179,6 +179,14 @@ def add_optimizer_args(parser: argparse.ArgumentParser) -> None:
                         help="step schedule: decay every N steps")
     parser.add_argument("--lr_decay_rate", type=float, default=0.1,
                         help="step schedule: multiply lr by this each decay")
+    parser.add_argument("--lr_plateau_factor", type=float, default=0.1,
+                        help="plateau schedule: multiply lr by this after "
+                             "--lr_plateau_patience stale val checks "
+                             "(torch ReduceLROnPlateau semantics)")
+    parser.add_argument("--lr_plateau_patience", type=int, default=10)
+    parser.add_argument("--lr_plateau_min_delta", type=float, default=0.0)
+    parser.add_argument("--min_lr", type=float, default=0.0,
+                        help="plateau schedule: LR floor")
     parser.add_argument("--accumulate_grad_batches", type=int, default=1,
                         help="apply the optimizer every k micro-batches on "
                              "the averaged gradient (PL "

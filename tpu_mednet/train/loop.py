@@ -36,7 +36,12 @@ from tpu_mednet.parallel.mesh import (
     train_batch_sharding,
 )
 from tpu_mednet.train.checkpoint import CheckpointManager
-from tpu_mednet.train.optim import OptimizerConfig, check_resume_optimizer
+from tpu_mednet.train.optim import (
+    OptimizerConfig,
+    PlateauController,
+    check_resume_optimizer,
+    read_current_lr,
+)
 from tpu_mednet.train.state import TrainState, create_train_state, param_count
 from tpu_mednet.train.step import make_eval_step, make_train_step
 from tpu_mednet.utils.metrics_logging import MetricsLogger
@@ -283,6 +288,15 @@ class Trainer:
         self.optim = (optim or OptimizerConfig(learning_rate=learning_rate)) \
             .resolve_total_steps(self._steps_per_epoch * max_epochs)
 
+        # ReduceLROnPlateau: host-side controller fed by val epochs
+        if self.optim.schedule == "plateau" and val_sampler is None:
+            raise ValueError(
+                "--lr_schedule plateau needs a validation set (the LR "
+                f"decays on plateaus of {monitor!r})"
+            )
+        self._plateau = PlateauController(self.optim) \
+            if self.optim.schedule == "plateau" else None
+
         # steps are built after the optimizer config resolves: the train
         # step owns the EMA update and validation monitors the EMA weights
         # (what gets deployed) when EMA is on
@@ -441,7 +455,9 @@ class Trainer:
             if (n_batches % self.log_every) == 0:
                 # sync + log (forces host transfer of the scalars only)
                 scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["lr"] = self.optim.lr_at(int(self.state.step))
+                scalars["lr"] = read_current_lr(
+                    self.optim, self.state.opt_state, int(self.state.step)
+                )
                 if self.metrics:
                     self.metrics.log_scalars(int(self.state.step), scalars)
                 last_metrics = scalars
@@ -527,6 +543,20 @@ class Trainer:
                     if (epoch + 1) % self.check_val_every_n_epoch == 0:
                         val_means = self.val_epoch(epoch)
                         self._maybe_save_best(val_means)
+                    if self._plateau is not None and self.monitor in val_means:
+                        # decay the live LR leaf BEFORE the epoch checkpoint
+                        # so the saved state carries the new LR
+                        new_opt, new_lr = self._plateau.update(
+                            self.state.opt_state,
+                            float(val_means[self.monitor]),
+                        )
+                        if new_lr is not None:
+                            self.state = self.state.replace(opt_state=new_opt)
+                            logger.info(
+                                "plateau: %s stale for %d val checks; "
+                                "lr -> %g", self.monitor,
+                                self.optim.lr_plateau_patience, new_lr,
+                            )
                     saved = False
                     if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:
                         self.ckpt.save(int(self.state.step), self.state, self.hparams)

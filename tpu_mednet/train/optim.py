@@ -32,7 +32,7 @@ import optax
 Schedule = Callable[[int], float]
 
 _OPTIMIZERS = ("adam", "adamw", "sgd")
-_SCHEDULES = ("constant", "cosine", "linear", "poly", "step")
+_SCHEDULES = ("constant", "cosine", "linear", "poly", "step", "plateau")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +61,10 @@ class OptimizerConfig:
     lr_decay_rate: float = 0.1         # step schedule: multiplicative factor
     accumulate_grad_batches: int = 1   # PL accumulate_grad_batches parity
     ema_decay: float = 0.0             # weight EMA (0 = off; e.g. 0.999)
+    lr_plateau_factor: float = 0.1     # plateau: multiply lr by this
+    lr_plateau_patience: int = 10      # plateau: stale val checks before decay
+    lr_plateau_min_delta: float = 0.0  # plateau: improvement threshold
+    min_lr: float = 0.0                # plateau: floor
 
     def __post_init__(self):
         if self.name not in _OPTIMIZERS:
@@ -81,6 +85,20 @@ class OptimizerConfig:
             raise ValueError(
                 f"--ema_decay must be in (0, 1), got {self.ema_decay}"
             )
+        if self.schedule == "plateau":
+            if self.warmup_steps:
+                raise ValueError(
+                    "--lr_schedule plateau does not compose with "
+                    "--warmup_steps (plateau IS the schedule: the LR only "
+                    "moves on validation plateaus)"
+                )
+            if not (0.0 < self.lr_plateau_factor < 1.0):
+                raise ValueError(
+                    "--lr_plateau_factor must be in (0, 1), got "
+                    f"{self.lr_plateau_factor}"
+                )
+            if self.lr_plateau_patience < 1:
+                raise ValueError("--lr_plateau_patience must be >= 1")
         if self.name == "adam" and self.weight_decay:
             raise ValueError(
                 "--weight_decay with --optimizer adam is silently ignored "
@@ -129,7 +147,9 @@ class OptimizerConfig:
         """
         lr, end = self.learning_rate, self.learning_rate * self.end_lr_factor
         decay_steps = max(self.total_steps - self.warmup_steps, 1)
-        if self.schedule == "constant":
+        if self.schedule in ("constant", "plateau"):
+            # plateau has no closed-form schedule (the Trainer rewrites the
+            # live LR leaf on validation plateaus); report the initial LR
             base = optax.constant_schedule(lr)
         elif self.schedule == "cosine":
             if not self.total_steps:
@@ -165,7 +185,10 @@ class OptimizerConfig:
     # -- optimizer ---------------------------------------------------------
 
     def _is_stateful_schedule(self) -> bool:
-        return not (self.schedule == "constant" and not self.warmup_steps)
+        # plateau passes the float LR into inject_hyperparams (its own tree
+        # change, flagged separately in signature())
+        return not (self.schedule in ("constant", "plateau")
+                    and not self.warmup_steps)
 
     def build(self) -> optax.GradientTransformation:
         """Compile to a single optax transformation chain."""
@@ -174,22 +197,35 @@ class OptimizerConfig:
         lr = self.make_schedule() if self._is_stateful_schedule() \
             else self.learning_rate
         if self.name == "adam":
-            base = optax.adam(lr, b1=self.beta1, b2=self.beta2, eps=self.eps)
+            fn = optax.adam
+            kw = dict(b1=self.beta1, b2=self.beta2, eps=self.eps)
+            static = ()
         elif self.name == "adamw":
-            base = optax.adamw(
-                lr, b1=self.beta1, b2=self.beta2, eps=self.eps,
-                weight_decay=self.weight_decay,
+            fn = optax.adamw
+            kw = dict(b1=self.beta1, b2=self.beta2, eps=self.eps,
+                      weight_decay=self.weight_decay)
+            static = ()
+        else:
+            fn = optax.sgd
+            kw = dict(momentum=self.momentum, nesterov=self.nesterov)
+            static = ("nesterov",)
+        if self.schedule == "plateau":
+            # the LR becomes a leaf of the optimizer state
+            # (InjectHyperparamsState.hyperparams) that the Trainer rewrites
+            # on validation plateaus via optax.tree_utils.tree_set — and
+            # that checkpoints/restores with the rest of the state, so a
+            # resumed run keeps its decayed LR
+            base = optax.inject_hyperparams(fn, static_args=static)(
+                learning_rate=lr, **kw
             )
         else:
-            base = optax.sgd(
-                lr, momentum=self.momentum, nesterov=self.nesterov,
+            base = fn(lr, **kw)
+        if self.name == "sgd" and self.weight_decay:
+            # torch-style coupled L2 for sgd: applied to the gradient
+            # BEFORE momentum, like torch.optim.SGD(weight_decay=...)
+            base = optax.chain(
+                optax.add_decayed_weights(self.weight_decay), base
             )
-            if self.weight_decay:
-                # torch-style coupled L2 for sgd: applied to the gradient
-                # BEFORE momentum, like torch.optim.SGD(weight_decay=...)
-                base = optax.chain(
-                    optax.add_decayed_weights(self.weight_decay), base
-                )
         if self.grad_clip_norm > 0:
             base = optax.chain(
                 optax.clip_by_global_norm(self.grad_clip_norm), base
@@ -215,11 +251,72 @@ class OptimizerConfig:
             # EMA lives on the TrainState, not in optax, but it changes the
             # checkpoint's state tree all the same
             "ema": bool(self.ema_decay),
+            # plateau wraps the optimizer in inject_hyperparams (extra
+            # hyperparams leaves in the opt state)
+            "plateau": self.schedule == "plateau",
             "sgd_weight_decay": bool(
                 self.name == "sgd" and self.weight_decay
             ),
             "sgd_momentum": bool(self.name == "sgd" and self.momentum),
         }
+
+
+class PlateauController:
+    """ReduceLROnPlateau: decay the live LR leaf on validation plateaus.
+
+    Host-side mirror of ``torch.optim.lr_scheduler.ReduceLROnPlateau``
+    (mode='min'): after ``patience`` consecutive val checks without a
+    ``> min_delta`` improvement of the monitored value, the LR leaf inside
+    the optimizer state (``inject_hyperparams``) is multiplied by
+    ``factor``, floored at ``min_lr``, and the stale counter resets.  The
+    LR lives in the checkpointed state, so resume keeps the decayed value;
+    the plateau *counter* restarts on resume (torch's scheduler state is
+    likewise not in the reference's PL checkpoints).
+
+    Multi-host safe for the same reason early stopping is: every process
+    computes identical val means from globally assembled batches, so all
+    take the decay branch together.
+    """
+
+    def __init__(self, cfg: OptimizerConfig):
+        if cfg.schedule != "plateau":
+            raise ValueError("PlateauController needs schedule='plateau'")
+        self.cfg = cfg
+        self._best: Optional[float] = None
+        self._stale = 0
+
+    def update(self, opt_state, value: float):
+        """Feed one monitored value; returns (opt_state, new_lr or None)."""
+        import optax.tree_utils as otu
+
+        if self._best is None or \
+                value < self._best - self.cfg.lr_plateau_min_delta:
+            self._best = float(value)
+            self._stale = 0
+            return opt_state, None
+        self._stale += 1
+        if self._stale < self.cfg.lr_plateau_patience:
+            return opt_state, None
+        self._stale = 0
+        current = float(otu.tree_get(opt_state, "learning_rate"))
+        new_lr = max(current * self.cfg.lr_plateau_factor, self.cfg.min_lr)
+        # relative tolerance: the leaf is float32, so a floor already
+        # reached can read back epsilon-above min_lr
+        if new_lr >= current * (1.0 - 1e-6):  # already at the floor
+            return opt_state, None
+        import jax.numpy as jnp
+        opt_state = otu.tree_set(
+            opt_state, learning_rate=jnp.asarray(new_lr, jnp.float32)
+        )
+        return opt_state, new_lr
+
+
+def read_current_lr(cfg: OptimizerConfig, opt_state, state_step: int) -> float:
+    """The LR in effect now — plateau reads the live leaf, others compute."""
+    if cfg.schedule == "plateau":
+        import optax.tree_utils as otu
+        return float(otu.tree_get(opt_state, "learning_rate"))
+    return cfg.lr_at(state_step)
 
 
 def check_resume_optimizer(hp_prev: dict, cfg: OptimizerConfig,
