@@ -170,6 +170,53 @@ def test_trainer_ema_checkpoint_and_inference(tmp_path):
         ).init_state(resume=str(tmp_path / "m"))
 
 
+def test_predict_cli_forwards_use_ema(tmp_path, monkeypatch):
+    """prediction.use_ema=false reaches load_for_inference."""
+    import h5py
+
+    import tpu_mednet.cli.predict as cli
+
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    task = SegmentationTask(model=tiny_model(), loss="DICE")
+    Trainer(task, sampler, batch_size=2, max_epochs=1, learning_rate=1e-2,
+            model_dir=str(tmp_path / "m"),
+            hparams={"ema_decay": 0.5, "out_channels": 2, "fmaps": 8,
+                     "levels": 2, "in_channels": 1, "loss": "DICE"},
+            optim=OptimizerConfig(learning_rate=1e-2, ema_decay=0.5)).fit()
+
+    captured = {}
+
+    def spy(directory, template, step=None, use_ema=True):
+        captured["use_ema"] = use_ema
+        raise SystemExit(0)  # stop before the heavy inference
+
+    # predict does `from tpu_mednet.train import load_for_inference` inside
+    # main(), so patching the package attribute intercepts it
+    monkeypatch.setattr("tpu_mednet.train.load_for_inference", spy)
+
+    with h5py.File(tmp_path / "d.h5", "w") as f:
+        img = np.zeros((1, 32, 32, 32), np.float32)
+        f.create_dataset("images/s", data=img)
+        f["images/s"].attrs["affine"] = np.eye(4)
+    (tmp_path / "keys.txt").write_text("s\n")
+    (tmp_path / "cfg.yaml").write_text(f"""
+base:
+  data: {tmp_path / 'd.h5'}
+prediction:
+  test_set: {tmp_path / 'keys.txt'}
+  checkpoint: {tmp_path / 'm'}
+  data: {tmp_path / 'out.h5'}
+  patch_size: [16, 16, 16]
+  patch_overlap: [4, 4, 4]
+  use_ema: false
+""")
+    with pytest.raises(SystemExit):
+        cli.main(["-c", str(tmp_path / "cfg.yaml")])
+    assert captured["use_ema"] is False
+
+
 def test_optimizer_config_ema_signature_and_hparams():
     import argparse
     cfg = OptimizerConfig.from_hparams(

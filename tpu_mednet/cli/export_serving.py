@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "artifact: bare --tta flips all three spatial "
                              "axes; --tta 0 2 flips a subset (8x/4x compute "
                              "per call)")
+    parser.add_argument("--no_ema", action="store_true",
+                        help="bake the raw final params instead of the EMA "
+                             "weights an --ema_decay checkpoint carries")
     parser.add_argument("--log_level", type=str, default="INFO")
     return parser
 
@@ -106,7 +109,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     template = create_train_state(
         task.model, (1, *args.patch_size, in_ch), learning_rate=1e-3,
     )
-    variables, _ = load_for_inference(checkpoint_path, template)
+    variables, _ = load_for_inference(checkpoint_path, template,
+                                      use_ema=not args.no_ema)
 
     from tpu_mednet.inference.common import normalize_tta
     # bare --tta (empty list) means all three axes; absent means none

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output .ckpt path (torch.save format)")
     parser.add_argument("--step", type=int, default=None,
                         help="checkpoint step to export (default: latest)")
+    parser.add_argument("--no_ema", action="store_true",
+                        help="export the raw final params instead of the "
+                             "EMA weights an --ema_decay checkpoint carries")
     parser.add_argument("--log_level", type=str, default="INFO")
     return parser
 
@@ -93,7 +96,7 @@ def _run(args) -> int:
         mgr.close()
 
     params = state.params
-    if state.ema_params is not None:
+    if state.ema_params is not None and not args.no_ema:
         params = state.ema_params
         logger.info("exporting EMA weights (ema_decay=%s)", hp.get("ema_decay"))
     variables = {"params": params}

@@ -65,6 +65,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     model_name = pred.get("model")  # default: auto-detect from hparams
     stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian' | 'device'
     n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
+    # EMA checkpoints predict with the averaged weights unless
+    # prediction.use_ema=false asks for the raw final params
+    use_ema = bool(pred.get("use_ema", True))
     # mirror test-time augmentation: true (all spatial axes) | [axes 0..2]
     from tpu_mednet.inference.common import normalize_tta
     tta_flips = normalize_tta(pred.get("tta", False))
@@ -151,7 +154,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         task.model, (1, *patch_size, in_ch), learning_rate=1e-3,
     )
     variables, _ = load_for_inference(checkpoint_path, template,
-                                      step=checkpoint_step)
+                                      step=checkpoint_step, use_ema=use_ema)
 
     placement = None
     if devices:
