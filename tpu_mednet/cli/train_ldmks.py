@@ -69,8 +69,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger.info("train keys: %d, val keys: %d", len(train_keys), len(val_keys))
     SamplerClass = DevicePatchSampler if hparams.device_sampler else PatchSampler
 
-    # the reference always augments for landmarks (train_ldmks.py:82-84)
-    augment = AugmentConfig()
+    # the reference always augments for landmarks (train_ldmks.py:82-84);
+    # --aug_* flags extend the pipeline (mirror/noise/elastic/rotate/scale)
+    # — the intensity chain stays on either way
+    from tpu_mednet.config import augment_config_from_hparams
+    augment = augment_config_from_hparams(hparams) or AugmentConfig()
 
     if hparams.landmark_group and not hparams.device_sampler:
         raise SystemExit("--landmark_group (on-device heatmap synthesis) "

@@ -87,10 +87,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     else:
         sampler_extra["transform"] = None  # host transform hook; default off
 
-    augment = None
-    if hparams.data_augmentation:
-        # reference Compose (train_seg.py:84-86), applied on device instead
-        augment = AugmentConfig()
+    # reference Compose (train_seg.py:84-86) on device when
+    # --data_augmentation; --aug_* flags extend it (mirror/noise/elastic/
+    # rotate/scale) and imply augmentation on
+    from tpu_mednet.config import augment_config_from_hparams
+    augment = augment_config_from_hparams(hparams)
 
     train_ds = SamplerClass(
         hparams.data_path, train_keys, hparams.patches_per_subject,

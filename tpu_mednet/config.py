@@ -85,6 +85,25 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--class_probabilities", type=float, nargs="+", default=None)
     parser.add_argument("--patches_per_subject", type=int, default=10)
     parser.add_argument("--data_augmentation", action="store_true")
+    parser.add_argument("--aug_mirror", action="store_true",
+                        help="add random mirror flips on all spatial axes "
+                             "to the augmentation pipeline")
+    parser.add_argument("--aug_noise_sigma", type=float, default=0.0,
+                        help="additive gaussian noise sigma (0 = off)")
+    parser.add_argument("--aug_elastic_sigma", type=float, default=0.0,
+                        help="on-device elastic deformation: coarse-grid "
+                             "displacement sigma in voxels (0 = off)")
+    parser.add_argument("--aug_elastic_grid", type=int, default=4,
+                        help="elastic deformation control grid size")
+    parser.add_argument("--aug_rotate_deg", type=float, default=0.0,
+                        help="random 3D rotation, max degrees per axis "
+                             "(0 = off)")
+    parser.add_argument("--aug_scale", type=float, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="random isotropic scale range, e.g. 0.85 1.25")
+    parser.add_argument("--aug_spatial_prob", type=float, default=1.0,
+                        help="per-sample probability of the elastic/rotate/"
+                             "scale transform")
     parser.add_argument("--gpus", type=int, default=1,
                         help="device count for the data-parallel mesh "
                              "(name kept for reference CLI parity)")
@@ -125,6 +144,32 @@ def add_common_train_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--no_bf16", dest="bf16", action="store_false")
     add_optimizer_args(parser)
     add_runtime_control_args(parser)
+
+
+def augment_config_from_hparams(hparams):
+    """Build the on-device AugmentConfig from CLI flags.
+
+    ``--data_augmentation`` alone reproduces the reference Compose
+    (brightness/gamma/contrast, train_seg.py:84-86); the ``--aug_*`` flags
+    extend it with spatial transforms.  Any ``--aug_*`` flag implies
+    augmentation is on.
+    """
+    from tpu_mednet.ops.augment import AugmentConfig
+
+    spatial = (hparams.aug_elastic_sigma or hparams.aug_rotate_deg
+               or hparams.aug_scale is not None)
+    if not (hparams.data_augmentation or hparams.aug_mirror
+            or hparams.aug_noise_sigma or spatial):
+        return None
+    return AugmentConfig(
+        mirror_axes=(1, 2, 3) if hparams.aug_mirror else (),
+        noise_sigma=hparams.aug_noise_sigma,
+        elastic_sigma=hparams.aug_elastic_sigma,
+        elastic_grid=hparams.aug_elastic_grid,
+        rotate_deg=hparams.aug_rotate_deg,
+        scale_range=tuple(hparams.aug_scale) if hparams.aug_scale else None,
+        spatial_prob=hparams.aug_spatial_prob,
+    )
 
 
 def add_runtime_control_args(parser: argparse.ArgumentParser) -> None:

@@ -49,7 +49,9 @@ def make_train_step(
         data = batch["data"].astype(model.config.dtype)
         label = batch["label"]
         if augment is not None:
-            if augment.mirror_axes:
+            # spatial transforms (mirror / elastic / rotate / scale) must
+            # move the label with the image
+            if augment.mirror_axes or augment.wants_spatial():
                 data, label = apply_augmentations(data, aug_rng, augment, label=label)
             else:
                 data = apply_augmentations(data, aug_rng, augment)
