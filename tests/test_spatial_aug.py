@@ -155,6 +155,26 @@ def test_resample_axis_matches_exact_for_single_axis_warp():
     np.testing.assert_array_equal(np.asarray(gotn), np.asarray(wantn))
 
 
+def test_resample_axis_loop_path_matches_unrolled():
+    # band > unroll_limit switches to the lax.fori_loop accumulator (the
+    # O(1)-temps path large rotations need); numerics must be identical
+    from tpu_mednet.ops.augment import resample_axis
+
+    v = vol(shape=(24, 8, 8), c=2, seed=9)
+    rng = np.random.default_rng(10)
+    off = jnp.asarray(rng.uniform(-10, 10, size=(24, 8, 8, 1)), jnp.float32)
+    unrolled = resample_axis(v, off, axis=0, band=10, unroll_limit=99)
+    looped = resample_axis(v, off, axis=0, band=10, unroll_limit=2)
+    np.testing.assert_allclose(np.asarray(looped), np.asarray(unrolled),
+                               rtol=1e-6, atol=1e-6)
+    lbl = jnp.asarray((np.asarray(v[..., :1]) > 0), jnp.uint8)
+    un = resample_axis(lbl, off, axis=0, band=10, nearest=True,
+                       unroll_limit=99)
+    lo = resample_axis(lbl, off, axis=0, band=10, nearest=True,
+                       unroll_limit=2)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(un))
+
+
 def test_separable_close_to_exact_for_small_deformations():
     # small elastic field on a SMOOTH image: the sequential xyz
     # decomposition sits within a few percent of the exact gather warp
@@ -209,6 +229,51 @@ def test_train_step_with_spatial_augment_compiles_and_learns():
     )
     state = trainer.fit()
     assert int(state.step) == 12
+
+
+def test_spatial_aug_under_spatial_sharding_matches_single_device():
+    """dp×sp train step WITH the spatial transform == 1-device numerics.
+
+    The separable warp's banded shifts along the sharded patch-X axis
+    become collective permutes under GSPMD; the numerics must not change.
+    """
+    from tpu_mednet.models import UNet3DBase, UNetConfig
+    from tpu_mednet.parallel import make_mesh, replicated
+    from tpu_mednet.parallel.mesh import train_batch_sharding
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import create_train_state, make_train_step
+
+    model = UNet3DBase(config=UNetConfig(
+        in_channels=1, out_channels=2, f_maps=4, num_levels=2,
+        block="residual", layer_order="cge", num_groups=2,
+        dtype=jnp.float32,
+    ))
+    task = SegmentationTask(model=model, loss="DICE")
+    rng = np.random.default_rng(6)
+    batch_np = {
+        "data": rng.normal(size=(4, 16, 8, 8, 1)).astype(np.float32),
+        "label": rng.integers(0, 2, size=(4, 16, 8, 8, 1)).astype(np.uint8),
+    }
+    augment = AugmentConfig(mirror_axes=(1, 2, 3), elastic_sigma=1.5,
+                            rotate_deg=10.0, scale_range=(0.9, 1.1))
+
+    def run(mesh):
+        state = create_train_state(task.model, (4, 16, 8, 8, 1), 1e-2, seed=0)
+        state = jax.device_put(state, replicated(mesh))
+        step = make_train_step(task, augment=augment, donate=False)
+        sharding = train_batch_sharding(mesh)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch_np)
+        losses = []
+        for _ in range(2):
+            state, m = step(state, batch)
+            losses.append(float(m["train_loss"]))
+        return losses
+
+    losses_sp = run(make_mesh(n_data=2, n_space=4))
+    losses_1 = run(make_mesh(n_data=1, n_space=1,
+                             devices=jax.devices()[:1]))
+    np.testing.assert_allclose(losses_sp, losses_1, rtol=2e-4)
 
 
 def test_cli_aug_flags_build_config():

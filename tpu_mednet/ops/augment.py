@@ -243,16 +243,23 @@ def _axis_band(shape, axis: int, elastic_sigma: float, rotate_deg: float,
 
 
 def resample_axis(vol: Array, offset: Array, axis: int, band: int,
-                  nearest: bool = False) -> Array:
+                  nearest: bool = False, unroll_limit: int = 8) -> Array:
     """1D resample of ``vol`` along a spatial ``axis`` (0..2 of X,Y,Z).
 
     ``out[p] = vol_interp[p_axis + offset[p]]`` with linear-tent (or
     nearest-box) weights and clamp-to-edge borders.  GATHER-FREE: realized
-    as a banded sum of ``2*band + 2`` statically-shifted copies,
+    as a banded sum of ``2*band + 2`` shifted copies,
     ``sum_k w_k * shift(vol, k)`` — fused multiply-adds the TPU VPU
     streams at bandwidth, where an XLA gather of 4-byte elements runs
     ~1000x below it (measured, docs/PERFORMANCE.md round 3).  ``offset``
     must satisfy ``|offset| <= band`` (the callers clip).
+
+    Up to ``unroll_limit`` the taps are unrolled statically so XLA fuses
+    the whole band into one pass; above it they run in a
+    ``lax.fori_loop`` carrying only the accumulator — a 15° rotation of
+    a 96³ batch-32 patch has band ≈ 49 (~100 taps), and the unrolled
+    form keeps every shifted volume live at once (measured 9 GB past
+    HBM at the flagship shape), where the loop form is O(1) temps.
     """
     s = vol.shape[axis]
     base = jnp.arange(s, dtype=jnp.float32).reshape(
@@ -260,19 +267,27 @@ def resample_axis(vol: Array, offset: Array, axis: int, band: int,
     # clamp the SOURCE coordinate to the volume (border mode 'nearest');
     # |src - base| stays <= band because clamping only shrinks it
     src = jnp.clip(base + offset, 0.0, float(s - 1))
-    acc = jnp.zeros_like(vol) if not nearest else None
-    out = None
-    for k in range(-band, band + 2):
+
+    def tap(k, acc):
         d = src - (base + k)                      # distance to this tap
+        shifted = jnp.roll(vol, -k, axis=axis)
         if nearest:
             w = (jnp.abs(d) <= 0.5) & (d > -0.5)  # round-half-up one-hot
-            shifted = jnp.roll(vol, -k, axis=axis)
-            out = jnp.where(w, shifted, out) if out is not None \
-                else jnp.where(w, shifted, vol)
-        else:
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(vol.dtype)
-            acc = acc + w * jnp.roll(vol, -k, axis=axis)
-    return out if nearest else acc
+            return jnp.where(w, shifted, acc)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(vol.dtype)
+        return acc + w * shifted
+
+    # init: for nearest, exactly one tap overwrites every voxel (the
+    # clamped |src - base| <= band guarantees a hit), so `vol` never
+    # survives; for linear, start from zero and accumulate
+    init = vol if nearest else jnp.zeros_like(vol)
+    if band <= unroll_limit:
+        acc = init
+        for k in range(-band, band + 2):
+            acc = tap(k, acc)
+        return acc
+    return jax.lax.fori_loop(0, 2 * band + 2,
+                             lambda i, acc: tap(i - band, acc), init)
 
 
 def _separable_warp(vol: Array, disp: Array, bands, nearest: bool) -> Array:
