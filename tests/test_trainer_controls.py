@@ -150,8 +150,10 @@ def test_cli_flags_reach_trainer(tmp_path, monkeypatch):
         "--early_stop_patience", "0",
         "--check_val_every_n_epoch", "3",
         "--limit_train_batches", "5", "--limit_val_batches", "2",
+        "--nonfinite", "skip",
     ])
     assert rc == 0
     assert captured["check_val_every_n_epoch"] == 3
     assert captured["limit_train_batches"] == 5
     assert captured["limit_val_batches"] == 2
+    assert captured["nonfinite"] == "skip"

@@ -50,7 +50,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from tpu_mednet.ops.augment import AugmentConfig
     from tpu_mednet.parallel.mesh import make_mesh
     from tpu_mednet.tasks import LandmarkTask
-    from tpu_mednet.train import OptimizerConfig, Trainer
+    from tpu_mednet.train import NonFiniteError, OptimizerConfig, Trainer
     from tpu_mednet.utils.plots import make_landmark_sample_visualizer
     from tpu_mednet.utils.neptune_logger import maybe_create_neptune_run
     import jax
@@ -138,8 +138,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         early_stop_min_delta=hparams.early_stop_min_delta,
         limit_train_batches=hparams.limit_train_batches,
         limit_val_batches=hparams.limit_val_batches,
+        nonfinite=hparams.nonfinite,
     )
-    trainer.fit(resume=hparams.resume)
+    try:
+        trainer.fit(resume=hparams.resume)
+    except NonFiniteError as exc:
+        # clean stop, not a crash: the last checkpoint holds finite params
+        logger.error("training stopped: %s", exc)
+        return 3
     return 0
 
 

@@ -186,6 +186,14 @@ def add_runtime_control_args(parser: argparse.ArgumentParser) -> None:
                         help="cap train batches per epoch (0 = full epoch)")
     parser.add_argument("--limit_val_batches", type=int, default=0,
                         help="cap val batches per epoch (0 = all)")
+    parser.add_argument("--nonfinite", choices=["off", "skip", "terminate"],
+                        default="off",
+                        help="NaN/Inf protection: 'skip' gates each "
+                             "optimizer update on device (a non-finite "
+                             "loss/gradient leaves params untouched, the "
+                             "per-epoch skip count is logged); 'terminate' "
+                             "additionally checkpoints and stops (PL "
+                             "terminate_on_nan analogue)")
 
 
 def add_optimizer_args(parser: argparse.ArgumentParser) -> None:

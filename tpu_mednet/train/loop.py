@@ -82,6 +82,13 @@ def _check_resume_architecture(hp_prev: dict, config, resume) -> None:
         )
 
 
+class NonFiniteError(RuntimeError):
+    """Raised when training hits NaN/Inf under ``nonfinite='terminate'``
+    (or when an entire epoch's updates were skipped under 'skip').  The
+    last checkpoint written before the raise holds only finite params —
+    the in-step gate skipped every poisoned update."""
+
+
 class PreemptionGuard:
     """Graceful-preemption handling for long training runs.
 
@@ -159,6 +166,7 @@ class Trainer:
         early_stop_min_delta: float = 0.0,
         limit_train_batches: int = 0,
         limit_val_batches: int = 0,
+        nonfinite: str = "off",
     ):
         self.task = task
         # route host PatchSamplers through the native batch pipeline (fused
@@ -297,11 +305,26 @@ class Trainer:
         self._plateau = PlateauController(self.optim) \
             if self.optim.schedule == "plateau" else None
 
+        # non-finite protection (production robustness the reference lacks;
+        # PL's `terminate_on_nan` analogue): 'skip' gates the update inside
+        # the jit'd step (a NaN/Inf loss or gradient leaves params, opt state
+        # and EMA untouched) and logs the per-epoch skip count;
+        # 'terminate' additionally checkpoints the (clean) state and raises.
+        # Either way an epoch where EVERY step was non-finite raises —
+        # training is not progressing.  Detection is device-side, so the
+        # guard adds no per-step host sync.
+        if nonfinite not in ("off", "skip", "terminate"):
+            raise ValueError(
+                f"nonfinite must be off/skip/terminate, got {nonfinite!r}"
+            )
+        self.nonfinite = nonfinite
+
         # steps are built after the optimizer config resolves: the train
         # step owns the EMA update and validation monitors the EMA weights
         # (what gets deployed) when EMA is on
         self.train_step = make_train_step(
-            task, augment=augment, ema_decay=self.optim.ema_decay
+            task, augment=augment, ema_decay=self.optim.ema_decay,
+            guard_nonfinite=nonfinite != "off",
         )
         self.eval_step = make_eval_step(
             task, use_ema=bool(self.optim.ema_decay)
@@ -433,6 +456,7 @@ class Trainer:
             batch_iter = device_prefetch(host_iter, sharding=self._batch_sharding)
         t_start = time.perf_counter()
         n_batches = 0
+        nonfinite_acc = None  # device scalar, pulled once per epoch
         for batch in batch_iter:
             if self._preempt is not None and self._preempt.triggered:
                 break
@@ -446,6 +470,9 @@ class Trainer:
             arrays = {"data": batch["data"], "label": batch["label"]}
             with jax.profiler.StepTraceAnnotation("train_step", step_num=n_batches):
                 self.state, metrics = self.train_step(self.state, arrays)
+            if self.nonfinite != "off":
+                nf = metrics["nonfinite"]
+                nonfinite_acc = nf if nonfinite_acc is None else nonfinite_acc + nf
             if self._profiling and n_batches >= self.profile_steps:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), self.state.params
@@ -473,6 +500,34 @@ class Trainer:
                 "(< profile_steps=%d steady-state steps)",
                 n_batches, self.profile_steps,
             )
+        if nonfinite_acc is not None and n_batches:
+            n_bad = int(float(jax.device_get(nonfinite_acc)))
+            if n_bad:
+                logger.warning(
+                    "epoch %d: %d/%d steps had a non-finite loss or "
+                    "gradient; their updates were skipped on device",
+                    epoch, n_bad, n_batches,
+                )
+                if self.metrics:
+                    self.metrics.log_scalars(
+                        int(self.state.step), {"nonfinite_steps": float(n_bad)}
+                    )
+                if self.nonfinite == "terminate" or n_bad >= n_batches:
+                    if self.ckpt:
+                        # the gate skipped every poisoned update, so this
+                        # checkpoint holds only finite params
+                        self.ckpt.save(
+                            int(self.state.step), self.state, self.hparams
+                        )
+                        self.ckpt.wait()
+                    reason = ("every step of the epoch was non-finite"
+                              if self.nonfinite != "terminate"
+                              else "nonfinite='terminate'")
+                    raise NonFiniteError(
+                        f"epoch {epoch}: {n_bad}/{n_batches} non-finite "
+                        f"steps ({reason}); last checkpoint holds the "
+                        f"finite params from before the first bad step"
+                    )
         wall = time.perf_counter() - t_start
         if n_batches:
             pps = n_batches * self.batch_size / wall

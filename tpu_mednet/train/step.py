@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from tpu_mednet.ops.augment import AugmentConfig, apply_augmentations
 from tpu_mednet.train.state import TrainState
@@ -26,6 +27,7 @@ def make_train_step(
     augment: Optional[AugmentConfig] = None,
     donate: bool = True,
     ema_decay: float = 0.0,
+    guard_nonfinite: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jit'd training step for a task.
 
@@ -39,6 +41,13 @@ def make_train_step(
     fused update per step; with gradient accumulation the EMA advances
     every micro-step against the then-current params).  The state must
     have been created with ``create_train_state(..., ema=True)``.
+
+    ``guard_nonfinite`` adds an on-device update gate: when the loss or
+    any gradient leaf is non-finite the whole update (optimizer, EMA,
+    batch stats, step count) is skipped via ``lax.cond`` — the params can
+    never absorb a NaN/Inf — and the metrics gain ``nonfinite`` (0.0/1.0
+    per step).  The host policy (log / stop) lives in the Trainer; the
+    gate itself stays inside the jit so it costs no extra device sync.
     """
     model = task.model
     if ema_decay and not (0.0 < ema_decay < 1.0):
@@ -74,16 +83,36 @@ def make_train_step(
         (loss, (aux, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        new_state = state.apply_gradients(
-            grads=grads, rng=new_rng, batch_stats=new_stats
-        )
-        if ema_decay and state.ema_params is not None:
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
-                state.ema_params, new_state.params,
-            )
-            new_state = new_state.replace(ema_params=new_ema)
+
+        def apply_update(operand):
+            st, gr, stats = operand
+            ns = st.apply_gradients(grads=gr, rng=new_rng, batch_stats=stats)
+            if ema_decay and st.ema_params is not None:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay
+                    + p.astype(e.dtype) * (1.0 - ema_decay),
+                    st.ema_params, ns.params,
+                )
+                ns = ns.replace(ema_params=new_ema)
+            return ns
+
         metrics = {"train_loss": loss, **aux}
+        if guard_nonfinite:
+            finite = jax.tree_util.tree_reduce(
+                lambda ok, g: ok & jnp.all(jnp.isfinite(g)),
+                grads, jnp.isfinite(loss),
+            )
+            new_state = jax.lax.cond(
+                finite,
+                apply_update,
+                # skip: keep params/opt-state/EMA/batch-stats/step untouched;
+                # only the PRNG advances so the next batch draws fresh noise
+                lambda op: op[0].replace(rng=new_rng),
+                (state, grads, new_stats),
+            )
+            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        else:
+            new_state = apply_update((state, grads, new_stats))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
