@@ -301,3 +301,91 @@ def test_cli_aug_flags_build_config():
     # --data_augmentation alone -> reference intensity chain only
     ref = augment_config_from_hparams(p.parse_args(["--data_augmentation"]))
     assert ref is not None and not ref.wants_spatial()
+
+
+def test_label_trilinear_channels_warp_like_image():
+    # landmark layout: 2 continuous heatmap channels first, class map last.
+    # With label_trilinear_channels=2 the heatmap channels must equal the
+    # IMAGE warp of their float values (rounded back to uint8), while the
+    # class channel stays nearest-warped (in-set).
+    rng = np.random.default_rng(7)
+    shape = (16, 16, 16)
+    img = rng.normal(size=(2, *shape, 1)).astype(np.float32)
+    hm = np.zeros((2, *shape, 2), dtype=np.float64)
+    for b in range(2):
+        for c, center in [(0, (5, 6, 7)), (1, (10, 9, 8))]:
+            g = np.stack(np.meshgrid(*[np.arange(s) for s in shape],
+                                     indexing="ij"), axis=-1)
+            d2 = ((g - np.array(center)) ** 2).sum(-1)
+            hm[b, ..., c] = 255.0 * np.exp(-d2 / (2 * 2.0 ** 2))
+    hm = hm.astype(np.uint8)
+    cls = rng.integers(0, 3, size=(2, *shape, 1)).astype(np.uint8)
+    lbl = np.concatenate([hm, cls], axis=-1)
+
+    for method in ("separable", "exact"):
+        key = jax.random.PRNGKey(3)
+        kwargs = dict(elastic_sigma=1.5, rotate_deg=10.0,
+                      scale_range=(0.9, 1.1), method=method)
+        _, l2 = spatial_3d(jnp.asarray(img), key, label=jnp.asarray(lbl),
+                           label_trilinear_channels=2, **kwargs)
+        # oracle: warp the float heatmaps through the IMAGE path with the
+        # same key (coords depend only on key+shape, not content)
+        hm_as_img, cls_only = spatial_3d(
+            jnp.asarray(hm.astype(np.float32)), key,
+            label=jnp.asarray(cls), **kwargs)
+        l2 = np.asarray(l2)
+        want_hm = np.round(np.asarray(hm_as_img)).astype(np.uint8)
+        np.testing.assert_array_equal(l2[..., :2], want_hm)
+        np.testing.assert_array_equal(l2[..., 2:], np.asarray(cls_only))
+        # class values stay members of the original set
+        assert set(np.unique(l2[..., 2])) <= set(np.unique(cls))
+        # the warped heatmap is smoother than a nearest warp: it grows new
+        # intermediate values instead of only permuting existing ones
+        _, l_near = spatial_3d(jnp.asarray(img), key,
+                               label=jnp.asarray(lbl), **kwargs)
+        l_near = np.asarray(l_near)
+        assert len(np.unique(l2[..., :2])) >= len(np.unique(l_near[..., :2]))
+
+
+def test_label_trilinear_all_channels_and_float_dtype():
+    # k >= C warps every channel linearly; float labels skip the rounding
+    rng = np.random.default_rng(8)
+    img = rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32)
+    lbl = rng.normal(size=(1, 8, 8, 8, 2)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    _, l2 = spatial_3d(jnp.asarray(img), key, label=jnp.asarray(lbl),
+                       elastic_sigma=1.0, label_trilinear_channels=5)
+    x2 = spatial_3d(jnp.asarray(np.concatenate([lbl], -1)), key,
+                    elastic_sigma=1.0)
+    assert np.asarray(l2).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(x2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_trainer_auto_sets_heatmap_trilinear_channels(tmp_path):
+    from tests.test_train import make_reader, tiny_model
+    from tpu_mednet.data import PatchSampler
+    from tpu_mednet.ops.augment import AugmentConfig
+    from tpu_mednet.tasks import LandmarkTask, SegmentationTask
+    from tpu_mednet.train import Trainer
+
+    reader = make_reader(with_heatmaps=True)
+    sampler = PatchSampler(None, ["s"], samples_per_subject=2,
+                           patch_size=[16, 16, 16],
+                           heatmap_group="heatmaps", reader=reader, seed=0)
+    aug = AugmentConfig(elastic_sigma=2.0)
+    t = Trainer(LandmarkTask(model=tiny_model(4),
+                             loss_regression_weight=[0.01, 0.01]),
+                sampler, batch_size=2, max_epochs=1, augment=aug)
+    assert t.augment.label_trilinear_channels == 2
+    # an explicit user value wins
+    t2 = Trainer(LandmarkTask(model=tiny_model(4),
+                              loss_regression_weight=[0.01, 0.01]),
+                 sampler, batch_size=2, max_epochs=1,
+                 augment=AugmentConfig(elastic_sigma=2.0,
+                                       label_trilinear_channels=1))
+    assert t2.augment.label_trilinear_channels == 1
+    # segmentation tasks stay nearest-only
+    t3 = Trainer(SegmentationTask(model=tiny_model(2), loss="CE"),
+                 sampler, batch_size=2, max_epochs=1, augment=aug)
+    assert t3.augment.label_trilinear_channels == 0

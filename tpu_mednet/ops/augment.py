@@ -307,6 +307,28 @@ def _separable_warp(vol: Array, disp: Array, bands, nearest: bool) -> Array:
     return out
 
 
+def _warp_label(lbl: Array, warp_linear, warp_nearest,
+                trilinear_channels: int) -> Array:
+    """Warp a label tensor (X, Y, Z, C): the leading
+    ``trilinear_channels`` (continuous heatmap targets, landmark layout:
+    heatmaps first / class map last) get the image's linear warp in fp32
+    — integer dtypes round back in-range, convex combinations never
+    leave [min, max] — while the remaining class channels stay
+    nearest-neighbor so label values remain members of the original set.
+    """
+    c = lbl.shape[-1]
+    k = min(trilinear_channels, c)
+    if k <= 0:
+        return warp_nearest(lbl)
+    hm = warp_linear(lbl[..., :k].astype(jnp.float32))
+    if jnp.issubdtype(lbl.dtype, jnp.integer):
+        hm = jnp.round(hm)
+    hm = hm.astype(lbl.dtype)
+    if k == c:
+        return hm
+    return jnp.concatenate([hm, warp_nearest(lbl[..., k:])], axis=-1)
+
+
 def spatial_3d(
     x: Array,
     key: Array,
@@ -317,14 +339,23 @@ def spatial_3d(
     scale_range: Optional[Tuple[float, float]] = None,
     p: float = 1.0,
     method: str = "separable",
+    label_trilinear_channels: int = 0,
 ):
     """Random per-sample spatial transform of (N, X, Y, Z, C) batches.
 
     Elastic deformation + rotation + isotropic scaling composed into a
     trilinear resample of the image (and a nearest-neighbor resample of the
-    label, so class values and uint8 heatmap targets stay in-set).  Border
-    mode is clamp-to-edge.  Each sample draws independent parameters and is
-    transformed with probability ``p``.
+    label, so class values stay in-set).  Border mode is clamp-to-edge.
+    Each sample draws independent parameters and is transformed with
+    probability ``p``.
+
+    ``label_trilinear_channels=k`` marks the label's first ``k`` channels
+    as continuous regression targets (landmark heatmaps: heatmaps first /
+    class map last) that warp with the image's linear interpolation
+    instead of nearest — a nearest-warped Gaussian heatmap keeps its peak
+    value but staircases its shape, biasing the MSE target off the true
+    sub-voxel landmark position.  The Trainer sets this automatically
+    from ``task.num_heatmaps``.
 
     ``method='separable'`` (default) runs three banded 1D passes — the
     gather-free formulation the TPU executes ~40x faster (see
@@ -357,13 +388,24 @@ def spatial_3d(
             out = jnp.where(do, warped, vol)
             lout = None
             if lbl is not None:
-                lout = jnp.where(
-                    do, _separable_warp(lbl, disp, bands, nearest=True), lbl)
+                lwarp = _warp_label(
+                    lbl,
+                    lambda t: _separable_warp(t, disp, bands, nearest=False),
+                    lambda t: _separable_warp(t, disp, bands, nearest=True),
+                    label_trilinear_channels,
+                )
+                lout = jnp.where(do, lwarp, lbl)
         else:
             out = jnp.where(do, trilinear_sample(vol, coords), vol)
             lout = None
             if lbl is not None:
-                lout = jnp.where(do, nearest_sample(lbl, coords), lbl)
+                lwarp = _warp_label(
+                    lbl,
+                    lambda t: trilinear_sample(t, coords),
+                    lambda t: nearest_sample(t, coords),
+                    label_trilinear_channels,
+                )
+                lout = jnp.where(do, lwarp, lbl)
         return out, lout
 
     if label is not None:
@@ -395,6 +437,10 @@ class AugmentConfig:
     rotate_deg: float = 0.0
     scale_range: Optional[Tuple[float, float]] = None
     spatial_prob: float = 1.0
+    # leading label channels that are continuous regression targets
+    # (landmark heatmaps): warped with the image's linear interpolation
+    # instead of nearest.  The Trainer fills this from task.num_heatmaps.
+    label_trilinear_channels: int = 0
 
     def wants_spatial(self) -> bool:
         return bool(self.elastic_sigma or self.rotate_deg
@@ -419,6 +465,7 @@ def apply_augmentations(
                 elastic_grid=config.elastic_grid,
                 rotate_deg=config.rotate_deg,
                 scale_range=config.scale_range, p=config.spatial_prob,
+                label_trilinear_channels=config.label_trilinear_channels,
             )
         else:
             x = spatial_3d(

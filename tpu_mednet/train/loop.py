@@ -319,6 +319,17 @@ class Trainer:
             )
         self.nonfinite = nonfinite
 
+        # landmark labels carry continuous heatmap targets in their
+        # leading channels (heatmaps first / class map last): the spatial
+        # transform warps those with the image's linear interpolation,
+        # not nearest (see ops/augment.spatial_3d)
+        num_hm = int(getattr(task, "num_heatmaps", 0) or 0)
+        if (augment is not None and augment.wants_spatial() and num_hm
+                and not augment.label_trilinear_channels):
+            import dataclasses as _dc
+            augment = _dc.replace(augment, label_trilinear_channels=num_hm)
+        self.augment = augment
+
         # steps are built after the optimizer config resolves: the train
         # step owns the EMA update and validation monitors the EMA weights
         # (what gets deployed) when EMA is on
