@@ -4,6 +4,7 @@ Tiny 2-level 8-channel U-Net overfitting one synthetic volume on CPU —
 loss must drop, checkpoints must round-trip, resume must continue.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -380,3 +381,30 @@ def test_preemption_checkpoints_and_resumes(tmp_path):
         with pytest.raises(KeyboardInterrupt):
             os.kill(os.getpid(), signal.SIGTERM)
             threading.Event().wait(0.05)
+
+
+def test_fit_bit_deterministic_across_runs(tmp_path):
+    # production reproducibility: two fresh runs with identical seeds,
+    # samplers and config produce BIT-identical params — covering the
+    # whole chain (sampler rng -> native/numpy batch path -> on-device
+    # augmentation PRNG -> optimizer update)
+    def run(tag):
+        reader = make_reader()
+        sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                               patch_size=[16, 16, 16], reader=reader,
+                               class_probabilities=[0.5, 0.5], seed=7)
+        task = SegmentationTask(model=tiny_model(2), loss="DICE")
+        trainer = Trainer(
+            task, sampler, batch_size=2, max_epochs=2, learning_rate=1e-3,
+            seed=11, model_dir=str(tmp_path / f"m_{tag}"),
+            augment=AugmentConfig(mirror_axes=(1, 2, 3), noise_sigma=0.05,
+                                  elastic_sigma=1.5, rotate_deg=5.0),
+        )
+        return trainer.fit()
+
+    s1, s2 = run("a"), run("b")
+    assert int(s1.step) == int(s2.step) == 4
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves2 = jax.tree_util.tree_leaves(s2.params)
+    assert all(bool(jnp.array_equal(a, b))
+               for a, b in zip(leaves1, leaves2))
