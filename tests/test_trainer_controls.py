@@ -6,6 +6,7 @@ patience, min_delta, mode='min'), check_val_every_n_epoch, and the
 percent-check epoch limits (here as absolute batch counts).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -151,9 +152,43 @@ def test_cli_flags_reach_trainer(tmp_path, monkeypatch):
         "--check_val_every_n_epoch", "3",
         "--limit_train_batches", "5", "--limit_val_batches", "2",
         "--nonfinite", "skip",
+        "--track_grad_norm",
     ])
     assert rc == 0
     assert captured["check_val_every_n_epoch"] == 3
     assert captured["limit_train_batches"] == 5
     assert captured["limit_val_batches"] == 2
     assert captured["nonfinite"] == "skip"
+    assert captured["track_grad_norm"] is True
+
+
+def test_track_grad_norm_metric():
+    # grad_norm = pre-clip global L2 norm of the gradients, matching a
+    # manual value_and_grad of the same loss; absent by default
+    import optax
+    from tpu_mednet.train import create_train_state, make_train_step
+
+    task = tiny_task()
+    model = task.model
+    state = create_train_state(model, (2, 16, 16, 16, 1), 1e-2, seed=0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jnp.asarray(
+            rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.integers(0, 2, size=(2, 16, 16, 16, 1)).astype(np.uint8)),
+    }
+
+    _, plain = make_train_step(task, donate=False)(state, batch)
+    assert "grad_norm" not in plain
+
+    _, metrics = make_train_step(task, donate=False,
+                                 track_grad_norm=True)(state, batch)
+
+    def loss_fn(params):
+        outputs = model.apply({"params": params}, batch["data"], train=True)
+        return task.loss_fn(outputs, batch)[0]
+
+    want = float(optax.global_norm(jax.grad(loss_fn)(state.params)))
+    got = float(metrics["grad_norm"])
+    assert got > 0 and np.isclose(got, want, rtol=1e-5), (got, want)

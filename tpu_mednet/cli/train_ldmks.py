@@ -139,6 +139,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         limit_train_batches=hparams.limit_train_batches,
         limit_val_batches=hparams.limit_val_batches,
         nonfinite=hparams.nonfinite,
+        track_grad_norm=hparams.track_grad_norm,
     )
     try:
         trainer.fit(resume=hparams.resume)

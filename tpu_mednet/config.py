@@ -186,6 +186,9 @@ def add_runtime_control_args(parser: argparse.ArgumentParser) -> None:
                         help="cap train batches per epoch (0 = full epoch)")
     parser.add_argument("--limit_val_batches", type=int, default=0,
                         help="cap val batches per epoch (0 = all)")
+    parser.add_argument("--track_grad_norm", action="store_true",
+                        help="log the pre-clip global gradient L2 norm "
+                             "as 'grad_norm' (PL track_grad_norm=2)")
     parser.add_argument("--nonfinite", choices=["off", "skip", "terminate"],
                         default="off",
                         help="NaN/Inf protection: 'skip' gates each "

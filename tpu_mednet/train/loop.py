@@ -167,6 +167,7 @@ class Trainer:
         limit_train_batches: int = 0,
         limit_val_batches: int = 0,
         nonfinite: str = "off",
+        track_grad_norm: bool = False,
     ):
         self.task = task
         # route host PatchSamplers through the native batch pipeline (fused
@@ -336,6 +337,7 @@ class Trainer:
         self.train_step = make_train_step(
             task, augment=augment, ema_decay=self.optim.ema_decay,
             guard_nonfinite=nonfinite != "off",
+            track_grad_norm=track_grad_norm,
         )
         self.eval_step = make_eval_step(
             task, use_ema=bool(self.optim.ema_decay)

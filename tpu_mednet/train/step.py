@@ -14,6 +14,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from tpu_mednet.ops.augment import AugmentConfig, apply_augmentations
 from tpu_mednet.train.state import TrainState
@@ -28,6 +29,7 @@ def make_train_step(
     donate: bool = True,
     ema_decay: float = 0.0,
     guard_nonfinite: bool = False,
+    track_grad_norm: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Array]]]:
     """Build the jit'd training step for a task.
 
@@ -48,6 +50,12 @@ def make_train_step(
     never absorb a NaN/Inf — and the metrics gain ``nonfinite`` (0.0/1.0
     per step).  The host policy (log / stop) lives in the Trainer; the
     gate itself stays inside the jit so it costs no extra device sync.
+
+    ``track_grad_norm`` adds ``grad_norm`` (the pre-clip global L2 norm,
+    PL ``track_grad_norm=2``) to the metrics — the observability signal
+    for tuning ``grad_clip_norm`` and diagnosing loss spikes.  Computed
+    on device from gradients already in registers; like every metric it
+    only syncs when the Trainer logs.
     """
     model = task.model
     if ema_decay and not (0.0 < ema_decay < 1.0):
@@ -97,6 +105,8 @@ def make_train_step(
             return ns
 
         metrics = {"train_loss": loss, **aux}
+        if track_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         if guard_nonfinite:
             finite = jax.tree_util.tree_reduce(
                 lambda ok, g: ok & jnp.all(jnp.isfinite(g)),
