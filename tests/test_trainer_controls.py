@@ -192,3 +192,19 @@ def test_track_grad_norm_metric():
     want = float(optax.global_norm(jax.grad(loss_fn)(state.params)))
     got = float(metrics["grad_norm"])
     assert got > 0 and np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_keep_checkpoints_retention(tmp_path):
+    # keep_checkpoints=1: after 3 epochs only the newest resumable step
+    # survives (the best-val checkpoint lives separately under /best)
+    trainer = Trainer(tiny_task(), make_sampler(), batch_size=2,
+                      max_epochs=3, keep_checkpoints=1,
+                      model_dir=str(tmp_path / "m"))
+    trainer.fit()
+    mgr = CheckpointManager(tmp_path / "m")
+    assert mgr.available_steps == [6]  # 3 epochs x 2 steps, newest only
+    mgr.close()
+
+    with pytest.raises(ValueError, match="keep_checkpoints"):
+        Trainer(tiny_task(), make_sampler(), batch_size=2,
+                keep_checkpoints=0)

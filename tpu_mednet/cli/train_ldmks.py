@@ -140,6 +140,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         limit_val_batches=hparams.limit_val_batches,
         nonfinite=hparams.nonfinite,
         track_grad_norm=hparams.track_grad_norm,
+        keep_checkpoints=hparams.keep_checkpoints,
     )
     try:
         trainer.fit(resume=hparams.resume)

@@ -186,6 +186,9 @@ def add_runtime_control_args(parser: argparse.ArgumentParser) -> None:
                         help="cap train batches per epoch (0 = full epoch)")
     parser.add_argument("--limit_val_batches", type=int, default=0,
                         help="cap val batches per epoch (0 = all)")
+    parser.add_argument("--keep_checkpoints", type=int, default=3,
+                        help="resumable checkpoints to retain in model_dir "
+                             "(the best-val checkpoint is kept separately)")
     parser.add_argument("--track_grad_norm", action="store_true",
                         help="log the pre-clip global gradient L2 norm "
                              "as 'grad_norm' (PL track_grad_norm=2)")

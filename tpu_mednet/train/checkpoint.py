@@ -94,6 +94,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    @property
+    def available_steps(self):
+        """Sorted steps currently retained (max_to_keep newest)."""
+        return sorted(self._mgr.all_steps())
+
     def _resolve_step(self, step: Optional[int]) -> int:
         if step is not None:
             steps = sorted(self._mgr.all_steps())

@@ -168,6 +168,7 @@ class Trainer:
         limit_val_batches: int = 0,
         nonfinite: str = "off",
         track_grad_norm: bool = False,
+        keep_checkpoints: int = 3,
     ):
         self.task = task
         # route host PatchSamplers through the native batch pipeline (fused
@@ -234,7 +235,13 @@ class Trainer:
                 )
 
         self.metrics = MetricsLogger(log_dir, extra_sinks=metric_sinks) if log_dir else None
-        self.ckpt = CheckpointManager(model_dir) if model_dir else None
+        if keep_checkpoints < 1:
+            raise ValueError(
+                f"keep_checkpoints must be >= 1, got {keep_checkpoints}"
+            )
+        self.ckpt = CheckpointManager(
+            model_dir, max_to_keep=keep_checkpoints
+        ) if model_dir else None
         # best-val checkpoint (PL 0.9's default checkpoint_callback keeps the
         # single best-val_loss checkpoint alongside resumable ones, reference
         # train_seg.py:122-131): a second max_to_keep=1 manager under
