@@ -31,7 +31,8 @@ def main():
                     help="measure with mirror TTA (bare --tta = all three "
                          "axes): 2^k forwards per patch")
     args = ap.parse_args()
-    tta_flips = () if args.tta is None else (tuple(sorted(set(args.tta)))
+    from tpu_mednet.inference.common import normalize_tta
+    tta_flips = () if args.tta is None else (normalize_tta(args.tta)
                                              or (0, 1, 2))
 
     import jax

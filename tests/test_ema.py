@@ -224,3 +224,29 @@ def test_optimizer_config_ema_signature_and_hparams():
     assert cfg.ema_decay == 0.999
     assert cfg.signature()["ema"] is True
     assert OptimizerConfig().signature()["ema"] is False
+
+
+def test_ema_advances_once_per_optimizer_step_with_accumulation():
+    # regression: the EMA update ran every micro-step against unchanged
+    # params, compounding the decay to decay^k per real optimizer step
+    task = SegmentationTask(model=tiny_model(), loss="DICE")
+    k, d = 3, 0.5
+    cfg = OptimizerConfig(learning_rate=1e-2, accumulate_grad_batches=k,
+                          ema_decay=d)
+    state = create_train_state(task.model, (2, 16, 16, 16, 1), 1e-2,
+                               optimizer=cfg.build(), ema=True)
+    step = make_train_step(task, ema_decay=d, donate=False)
+    ema0 = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    # micro-steps 1..k-1 accumulate: params unchanged, EMA must hold still
+    for i in range(k - 1):
+        state, _ = step(state, make_batch(seed=i))
+        for e, e0 in zip(jax.tree_util.tree_leaves(state.ema_params),
+                         jax.tree_util.tree_leaves(ema0)):
+            np.testing.assert_array_equal(np.asarray(e), e0)
+    # the k-th micro-step applies the real update: exactly ONE EMA advance
+    state, _ = step(state, make_batch(seed=k))
+    expect = jax.tree_util.tree_map(
+        lambda o, n: d * o + (1 - d) * np.asarray(n), ema0, state.params)
+    for e, x in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(np.asarray(e), x, rtol=1e-6, atol=1e-7)

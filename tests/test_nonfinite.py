@@ -199,3 +199,23 @@ def test_cli_terminate_exits_clean(tmp_path, caplog):
         ])
     assert rc == 3
     assert any("training stopped" in r.message for r in caplog.records)
+
+
+def test_duplicate_step_save_keeps_nonfinite_error(tmp_path):
+    # regression: a fully non-finite run leaves state.step where a previous
+    # save already put a checkpoint; the terminate-path save then collided
+    # with orbax's duplicate-step ValueError, masking NonFiniteError (and
+    # the CLI's clean rc=3 exit)
+    kwargs = dict(batch_size=2, max_epochs=2, nonfinite="skip",
+                  model_dir=str(tmp_path / "m"))
+    with pytest.raises(NonFiniteError):
+        Trainer(tiny_task(), _sampler(all_bad=True), **kwargs).fit()
+    mgr = CheckpointManager(tmp_path / "m")
+    steps_before = mgr.available_steps
+    mgr.close()
+    assert steps_before  # the first run checkpointed at the raise
+    # resume: the step has not advanced, so the raise-path save targets an
+    # EXISTING step and must skip it instead of crashing inside orbax
+    with pytest.raises(NonFiniteError):
+        Trainer(tiny_task(), _sampler(all_bad=True), **kwargs).fit(
+            resume=str(tmp_path / "m"))

@@ -249,3 +249,47 @@ def test_trainer_resume_optimizer_mismatch_raises(tmp_path):
     )
     resumed.init_state(resume=str(tmp_path / "m"))
     assert int(resumed.state.step) == 2
+
+
+def test_resume_check_accepts_step_schedule():
+    # regression: lr_decay_every was filtered out of the side-car keys read
+    # back by check_resume_optimizer, so resuming a --lr_schedule step run
+    # crashed in OptimizerConfig.__post_init__ despite matching flags
+    cfg = OptimizerConfig(schedule="step", lr_decay_every=100)
+    hp = {"optimizer": "adam", "lr_schedule": "step", "lr_decay_every": 100,
+          "warmup_steps": 0}
+    check_resume_optimizer(hp, cfg, "ckpt")  # must not raise
+
+
+def test_load_for_inference_nondefault_optimizer_tree(tmp_path):
+    # regression: predict/export built their restore template with plain
+    # Adam, so checkpoints trained with clipping/accumulation/schedules
+    # (different opt_state TREE) failed orbax's structural check
+    from tests.test_train import make_reader, tiny_model
+    from tpu_mednet.data import PatchSampler
+    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.train import (
+        Trainer,
+        create_train_state,
+        load_for_inference,
+    )
+
+    reader = make_reader()
+    sampler = PatchSampler(None, ["s"], samples_per_subject=4,
+                           patch_size=[16, 16, 16], reader=reader, seed=0)
+    optim = OptimizerConfig(learning_rate=1e-2, grad_clip_norm=1.0,
+                            schedule="step", lr_decay_every=5,
+                            accumulate_grad_batches=2)
+    hparams = {"optimizer": "adam", "lr_schedule": "step",
+               "lr_decay_every": 5, "grad_clip_norm": 1.0,
+               "accumulate_grad_batches": 2}
+    task = SegmentationTask(model=tiny_model(2), loss="DICE")
+    Trainer(task, sampler, batch_size=2, max_epochs=1,
+            model_dir=str(tmp_path / "m"), optim=optim,
+            hparams=hparams).fit()
+    # the default-Adam template, exactly as predict/export_serving build it
+    template = create_train_state(task.model, (1, 16, 16, 16, 1), 1e-3)
+    variables, hp = load_for_inference(str(tmp_path / "m"), template)
+    assert hp["lr_schedule"] == "step"
+    assert all(bool(jnp.all(jnp.isfinite(p)))
+               for p in jax.tree_util.tree_leaves(variables["params"]))

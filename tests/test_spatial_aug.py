@@ -389,3 +389,31 @@ def test_trainer_auto_sets_heatmap_trilinear_channels(tmp_path):
     t3 = Trainer(SegmentationTask(model=tiny_model(2), loss="CE"),
                  sampler, batch_size=2, max_epochs=1, augment=aug)
     assert t3.augment.label_trilinear_channels == 0
+
+
+def test_axis_band_covers_zoom_in_scale_end():
+    # regression: the affine displacement bound was evaluated only at
+    # max|s| of the scale range, so a zoom-in-dominant range like
+    # (0.7, 1.0) got band~1 and the per-axis clip silently flattened the
+    # warp to near-identity; the bound is linear in s, so both endpoints
+    # must be checked
+    from tpu_mednet.ops.augment import _axis_band
+
+    band = _axis_band((96, 96, 96), 0, 0.0, 0.0, (0.7, 1.0))
+    assert band >= 15  # 0.3 * 47.5 = 14.25 voxels of corner displacement
+    # zoom-out-dominant ranges keep working
+    assert _axis_band((96, 96, 96), 0, 0.0, 0.0, (1.0, 1.3)) >= 15
+
+
+def test_separable_zoom_in_matches_exact_gather():
+    # a pure diagonal (scale-only) warp factorizes exactly over the three
+    # 1D trilinear passes; before the band fix the separable result was a
+    # clipped near-identity instead of the zoom
+    x = vol((24, 24, 24), c=1, seed=5)[None]
+    key = jax.random.PRNGKey(3)
+    ysep = np.asarray(spatial_3d(x, key, scale_range=(0.7, 0.7), p=1.0,
+                                 method="separable"))
+    yex = np.asarray(spatial_3d(x, key, scale_range=(0.7, 0.7), p=1.0,
+                                method="exact"))
+    np.testing.assert_allclose(ysep, yex, rtol=1e-4, atol=1e-4)
+    assert np.abs(ysep - np.asarray(x)).max() > 0.1  # the zoom applied

@@ -64,7 +64,7 @@ def _run(args) -> int:
     from tpu_mednet.inference.serving import detect_task_name
     from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state
-    from tpu_mednet.train.checkpoint import CheckpointManager
+    from tpu_mednet.train.checkpoint import CheckpointManager, load_for_inference
     from tpu_mednet.utils.torch_export import save_reference_checkpoint
 
     ckpt_dir = replace_env(args.checkpoint)
@@ -76,32 +76,24 @@ def _run(args) -> int:
                 f"checkpoint at {ckpt_dir} has no hparams side-car; export "
                 "needs the training hparams to rebuild the model"
             )
-        ns = types.SimpleNamespace(**{k: _coerce(v) for k, v in hp.items()})
-        task_name = detect_task_name(hp)
-        task = (LandmarkTask if task_name == "LandmarkNet"
-                else SegmentationTask).from_hparams(ns)
-        f_maps = task.model.config.feature_maps
-        div = 2 ** (len(f_maps) - 1)
-        template = create_train_state(
-            task.model, (1, div, div, div, task.model.config.in_channels),
-            learning_rate=float(getattr(ns, "learning_rate", 1e-3)),
-        )
-        if float(hp.get("ema_decay") or 0.0) > 0.0:
-            # EMA checkpoints carry ema_params; restore them and export the
-            # EMA weights — they are what EMA training deploys
-            template = template.replace(ema_params=template.params)
-        state, _ = mgr.restore(template, step=args.step)
         step = args.step if args.step is not None else mgr.latest_step
     finally:
         mgr.close()
-
-    params = state.params
-    if state.ema_params is not None and not args.no_ema:
-        params = state.ema_params
-        logger.info("exporting EMA weights (ema_decay=%s)", hp.get("ema_decay"))
-    variables = {"params": params}
-    if state.batch_stats is not None:
-        variables["batch_stats"] = state.batch_stats
+    ns = types.SimpleNamespace(**{k: _coerce(v) for k, v in hp.items()})
+    task_name = detect_task_name(hp)
+    task = (LandmarkTask if task_name == "LandmarkNet"
+            else SegmentationTask).from_hparams(ns)
+    f_maps = task.model.config.feature_maps
+    div = 2 ** (len(f_maps) - 1)
+    template = create_train_state(
+        task.model, (1, div, div, div, task.model.config.in_channels),
+        learning_rate=float(getattr(ns, "learning_rate", 1e-3)),
+    )
+    # load_for_inference owns the template/EMA/optimizer-tree handling
+    # (non-default optimizer configs reshape the on-disk opt_state)
+    variables, _ = load_for_inference(
+        ckpt_dir, template, step=args.step, use_ema=not args.no_ema,
+    )
     save_reference_checkpoint(
         replace_env(args.output), variables, hparams=hp, step=step or 0,
     )

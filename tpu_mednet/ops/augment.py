@@ -221,23 +221,28 @@ def _axis_band(shape, axis: int, elastic_sigma: float, rotate_deg: float,
     band = 2.5 * float(elastic_sigma) if elastic_sigma else 0.0
     if rotate_deg or scale_range is not None:
         half = (np.asarray(shape, np.float64) - 1.0) / 2.0
-        s = max(abs(scale_range[0]), abs(scale_range[1])) \
-            if scale_range is not None else 1.0
+        # the displacement R*s - I is linear in s at fixed angles, so its
+        # max over the scale interval is attained at an ENDPOINT — both
+        # must be checked (zoom-in ranges like (0.7, 1.0) displace most at
+        # the small end; bounding only max|s| would clip the field to ~0)
+        scales = ((float(scale_range[0]), float(scale_range[1]))
+                  if scale_range is not None else (1.0,))
         a = np.deg2rad(float(rotate_deg))
         worst = 0.0
-        # extreme angle combinations x extreme corners (pure numpy: this
-        # runs at TRACE time and must stay static)
-        for sx in (-a, a):
-            for sy in (-a, a):
-                for sz in (-a, a):
-                    ca, cb, cc = np.cos([sx, sy, sz])
-                    sa, sb, sc2 = np.sin([sx, sy, sz])
-                    rx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
-                    ry = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
-                    rz = np.array([[cc, -sc2, 0], [sc2, cc, 0], [0, 0, 1]])
-                    m = (rx @ ry @ rz) * s - np.eye(3)
-                    # max over corners of |(m @ corner)[axis]|
-                    worst = max(worst, float(np.abs(m[axis]) @ half))
+        # extreme scales x extreme angle combinations x extreme corners
+        # (pure numpy: this runs at TRACE time and must stay static)
+        for s in scales:
+            for sx in (-a, a):
+                for sy in (-a, a):
+                    for sz in (-a, a):
+                        ca, cb, cc = np.cos([sx, sy, sz])
+                        sa, sb, sc2 = np.sin([sx, sy, sz])
+                        rx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+                        ry = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+                        rz = np.array([[cc, -sc2, 0], [sc2, cc, 0], [0, 0, 1]])
+                        m = (rx @ ry @ rz) * s - np.eye(3)
+                        # max over corners of |(m @ corner)[axis]|
+                        worst = max(worst, float(np.abs(m[axis]) @ half))
         band += worst
     return int(np.ceil(band)) + 1
 

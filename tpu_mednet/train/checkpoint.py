@@ -153,6 +153,40 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def widen_template_from_hparams(state_template: TrainState,
+                                hp: Optional[Dict]) -> TrainState:
+    """Match a restore template's tree to what the checkpoint was trained with.
+
+    Inference callers build their template with the default plain-Adam
+    optimizer, but the on-disk ``opt_state`` tree depends on the training
+    run's optimizer config (schedules, clipping, MultiSteps accumulation,
+    inject_hyperparams for plateau) — orbax refuses a structural mismatch.
+    Rebuilds ``opt_state`` from the hparams side-car's optimizer flags
+    (legacy side-cars without them reproduce the historic plain-Adam tree)
+    and widens ``ema_params`` for EMA-trained checkpoints.
+    """
+    from tpu_mednet.train.optim import OptimizerConfig
+
+    hp = hp or {}
+    cfg = OptimizerConfig.from_hparams(hp)
+    if cfg.needs_total_steps() and not cfg.total_steps:
+        # the horizon only shifts schedule VALUES, never the tree shape —
+        # any positive stand-in yields the structure the checkpoint holds
+        cfg = cfg.resolve_total_steps(cfg.accumulate_grad_batches)
+    if cfg.signature() != OptimizerConfig().signature():
+        state_template = state_template.replace(
+            opt_state=cfg.build().init(state_template.params)
+        )
+    if float(hp.get("ema_decay") or 0.0) > 0.0 \
+            and state_template.ema_params is None:
+        # ema_params has the exact structure of params — widen the
+        # template without needing the model
+        state_template = state_template.replace(
+            ema_params=state_template.params
+        )
+    return state_template
+
+
 def load_for_inference(directory, state_template: TrainState,
                        step: Optional[int] = None,
                        use_ema: bool = True) -> Tuple[Dict[str, Any], Optional[Dict]]:
@@ -171,13 +205,7 @@ def load_for_inference(directory, state_template: TrainState,
     mgr = CheckpointManager(directory)
     try:
         hp = mgr.restore_hparams(step=step)
-        has_ema = bool(hp and float(hp.get("ema_decay") or 0.0) > 0.0)
-        if has_ema and state_template.ema_params is None:
-            # ema_params has the exact structure of params — widen the
-            # template without needing the model
-            state_template = state_template.replace(
-                ema_params=state_template.params
-            )
+        state_template = widen_template_from_hparams(state_template, hp)
         state, hparams = mgr.restore(state_template, step=step)
     finally:
         mgr.close()
@@ -185,7 +213,7 @@ def load_for_inference(directory, state_template: TrainState,
     if use_ema and state.ema_params is not None:
         params = state.ema_params
         logger.info("using EMA weights from %s (ema_decay=%s)",
-                    directory, hp.get("ema_decay"))
+                    directory, (hp or {}).get("ema_decay"))
     variables = {"params": params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats

@@ -242,6 +242,7 @@ class Trainer:
         self.ckpt = CheckpointManager(
             model_dir, max_to_keep=keep_checkpoints
         ) if model_dir else None
+        self._last_saved_step: Optional[int] = None
         # best-val checkpoint (PL 0.9's default checkpoint_callback keeps the
         # single best-val_loss checkpoint alongside resumable ones, reference
         # train_seg.py:122-131): a second max_to_keep=1 manager under
@@ -439,6 +440,26 @@ class Trainer:
                     value, int(self.state.step), self._best_dir())
         return True
 
+    def _save_ckpt(self) -> None:
+        """Save a resumable checkpoint at the current step, once per step.
+
+        The step can legitimately stand still across save sites — e.g. a
+        fully non-finite epoch under ``nonfinite='skip'`` leaves it where
+        the previous epoch's save put it — and orbax refuses a duplicate
+        step with a ValueError that would mask the real control flow
+        (NonFiniteError, preemption exit).  An existing checkpoint at this
+        step already holds the identical state, so skipping is lossless.
+        """
+        assert self.ckpt is not None
+        step = int(self.state.step)
+        if step == self._last_saved_step or step in self.ckpt.available_steps:
+            logger.info(
+                "checkpoint at step %d already exists; not re-saving", step
+            )
+            return
+        self.ckpt.save(step, self.state, self.hparams)
+        self._last_saved_step = step
+
     def _should_early_stop(self, val_means: Dict[str, float]) -> bool:
         """PL EarlyStopping(monitor, patience, min_delta, mode='min').
 
@@ -536,9 +557,7 @@ class Trainer:
                     if self.ckpt:
                         # the gate skipped every poisoned update, so this
                         # checkpoint holds only finite params
-                        self.ckpt.save(
-                            int(self.state.step), self.state, self.hparams
-                        )
+                        self._save_ckpt()
                         self.ckpt.wait()
                     reason = ("every step of the epoch was non-finite"
                               if self.nonfinite != "terminate"
@@ -606,9 +625,7 @@ class Trainer:
                         # preempted: persist progress so --resume continues
                         # from this step, then exit cleanly
                         if self.ckpt:
-                            self.ckpt.save(
-                                int(self.state.step), self.state, self.hparams
-                            )
+                            self._save_ckpt()
                         logger.warning(
                             "preempted at step %d (epoch %d): checkpoint "
                             "saved, exiting", int(self.state.step), epoch,
@@ -634,20 +651,21 @@ class Trainer:
                             )
                     saved = False
                     if self.ckpt and (epoch + 1) % self.checkpoint_every_epochs == 0:
-                        self.ckpt.save(int(self.state.step), self.state, self.hparams)
+                        self._save_ckpt()
                         saved = True
                     if self._should_early_stop(val_means):
                         if self.ckpt and not saved:
-                            self.ckpt.save(
-                                int(self.state.step), self.state, self.hparams
-                            )
+                            self._save_ckpt()
                         break
             finally:
                 self._preempt = None
-        if self.ckpt:
-            self.ckpt.wait()
-        if self._ckpt_best is not None:
-            self._ckpt_best.wait()
-        if self.metrics:
-            self.metrics.close()
+                # also on the exception paths (NonFiniteError, interrupts):
+                # wait out in-flight async orbax saves — an abandoned tmp
+                # step would be unreadable — and flush buffered metrics
+                if self.ckpt:
+                    self.ckpt.wait()
+                if self._ckpt_best is not None:
+                    self._ckpt_best.wait()
+                if self.metrics:
+                    self.metrics.close()
         return self.state

@@ -330,7 +330,7 @@ def check_resume_optimizer(hp_prev: dict, cfg: OptimizerConfig,
     """
     keys = ("optimizer", "lr_schedule", "warmup_steps", "grad_clip_norm",
             "accumulate_grad_batches", "weight_decay", "momentum",
-            "ema_decay")
+            "ema_decay", "lr_decay_every")
     if not any(k in hp_prev for k in keys):
         prev = OptimizerConfig()  # pre-flag checkpoint: plain Adam
     else:

@@ -40,9 +40,12 @@ def make_train_step(
 
     ``ema_decay`` > 0 maintains ``state.ema_params`` as
     ``ema = decay * ema + (1 - decay) * params`` inside the same jit (one
-    fused update per step; with gradient accumulation the EMA advances
-    every micro-step against the then-current params).  The state must
-    have been created with ``create_train_state(..., ema=True)``.
+    fused update per step).  With gradient accumulation the EMA advances
+    only on the micro-step where optax.MultiSteps applies the real update
+    — otherwise the decay would compound k times per optimizer step
+    against unchanged params, silently shrinking the EMA time constant to
+    ``decay^k``.  The state must have been created with
+    ``create_train_state(..., ema=True)``.
 
     ``guard_nonfinite`` adds an on-device update gate: when the loss or
     any gradient leaf is non-finite the whole update (optimizer, EMA,
@@ -101,6 +104,17 @@ def make_train_step(
                     + p.astype(e.dtype) * (1.0 - ema_decay),
                     st.ema_params, ns.params,
                 )
+                if isinstance(ns.opt_state, optax.MultiStepsState):
+                    # gradient accumulation: the inner optimizer only
+                    # stepped when mini_step wrapped to 0; on accumulating
+                    # micro-steps the params are unchanged and the EMA must
+                    # hold still (else decay compounds to decay^k per real
+                    # update)
+                    did_step = ns.opt_state.mini_step == 0
+                    new_ema = jax.tree_util.tree_map(
+                        lambda n, e: jnp.where(did_step, n, e),
+                        new_ema, st.ema_params,
+                    )
                 ns = ns.replace(ema_params=new_ema)
             return ns
 
