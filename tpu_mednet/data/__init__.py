@@ -7,9 +7,11 @@ from tpu_mednet.data.patch_sampler import MedDataset, PatchSampler
 from tpu_mednet.data.readers import (
     DataReader,
     DataReaderHDF5,
+    DataReaderNifti,
     DataReaderZarr,
     HDF5Reader,
     MemoryReader,
+    NiftiReader,
     ZarrReader,
     open_reader,
 )
@@ -25,9 +27,11 @@ __all__ = [
     "DataReader",
     "HDF5Reader",
     "ZarrReader",
+    "NiftiReader",
     "MemoryReader",
     "DataReaderHDF5",
     "DataReaderZarr",
+    "DataReaderNifti",
     "open_reader",
     "PatchSampler",
     "MedDataset",

@@ -136,6 +136,101 @@ class ZarrReader(DataReader):
             store.close()
 
 
+class NiftiReader(DataReader):
+    """Reader over a directory of per-subject NIfTI volumes.
+
+    Beyond-reference capability (the reference reads HDF5/zarr containers
+    only, dataset.py:150-207): medical datasets commonly ship as loose
+    ``.nii.gz`` files, and repacking them just to train is friction.  The
+    expected layout mirrors the container group structure::
+
+        <root>/<group>/<key>.nii[.gz]      e.g.  data/images/s0.nii.gz
+                                                 data/labels/s0.nii.gz
+
+    Volumes follow the framework's channels-first storage convention
+    (C, X, Y, Z): a 3D NIfTI yields a leading singleton channel, a 4D one
+    maps its trailing (t/channel) axis to the channel axis.  Shape queries
+    parse headers only (no voxel payload decompression); per-volume RAS
+    affines are exposed via ``get_data_attribute(..., "affine")``.  The
+    parser is the bundled dependency-free NIfTI-1 implementation
+    (``tpu_mednet.utils.nifti``).
+    """
+
+    def __init__(self, path_data):
+        self.path_data = Path(str(path_data))
+        if not self.path_data.is_dir():
+            raise FileNotFoundError(
+                f"NiftiReader expects a directory of <group>/<key>.nii[.gz] "
+                f"volumes, got {path_data!r}"
+            )
+
+    def _path(self, group: str, key: str) -> Path:
+        for suffix in (".nii.gz", ".nii"):
+            p = self.path_data / group / f"{key}{suffix}"
+            if p.exists():
+                return p
+        raise KeyError(
+            f"no NIfTI volume {group}/{key}(.nii|.nii.gz) under "
+            f"{self.path_data}"
+        )
+
+    @staticmethod
+    def _to_channels_first_shape(shape: tuple) -> tuple:
+        if len(shape) == 3:
+            return (1, *shape)
+        if len(shape) == 4:
+            return (shape[3], *shape[:3])
+        raise ValueError(
+            f"NIfTI volumes must be 3D or 4D, got {len(shape)}D {shape}"
+        )
+
+    def _load(self, group: str, key: str):
+        from tpu_mednet.utils.nifti import load_nifti
+
+        data, affine = load_nifti(self._path(group, key))
+        if data.ndim == 3:
+            data = data[None]
+        elif data.ndim == 4:
+            data = np.moveaxis(data, -1, 0)  # (X, Y, Z, C) -> (C, X, Y, Z)
+        else:
+            raise ValueError(
+                f"NIfTI volumes must be 3D or 4D, got {data.ndim}D "
+                f"({group}/{key})"
+            )
+        return data, affine
+
+    def read(self, subject_keys, group, dtype=np.float16, preload=True):
+        # the whole file decompresses either way (NIfTI has no chunk
+        # story); preload=False just skips the dtype cast, mirroring the
+        # raw-handle semantics of the container readers
+        for k in subject_keys:
+            data, _ = self._load(group, k)
+            yield np.asarray(data, dtype=dtype) if preload else data
+
+    def get_data_shape(self, subject_keys, group):
+        from tpu_mednet.utils.nifti import read_nifti_header
+
+        return {
+            k: self._to_channels_first_shape(
+                read_nifti_header(self._path(group, k))[0]
+            )
+            for k in subject_keys
+        }
+
+    def get_data_attribute(self, subject_keys, group, attribute):
+        if attribute != "affine":
+            raise KeyError(
+                f"NIfTI volumes carry only the 'affine' attribute, "
+                f"not {attribute!r}"
+            )
+        from tpu_mednet.utils.nifti import read_nifti_header
+
+        return {
+            k: read_nifti_header(self._path(group, k))[2]
+            for k in subject_keys
+        }
+
+
 class MemoryReader(DataReader):
     """Reader over an in-memory ``{group: {key: array}}`` mapping.
 
@@ -169,6 +264,7 @@ class MemoryReader(DataReader):
 # Backwards-compatible aliases matching the reference class names.
 DataReaderHDF5 = HDF5Reader
 DataReaderZarr = ZarrReader
+DataReaderNifti = NiftiReader
 
 
 def open_reader(path, reader_cls=None) -> DataReader:
@@ -178,6 +274,17 @@ def open_reader(path, reader_cls=None) -> DataReader:
     p = Path(str(path))
     if p.suffix in (".h5", ".hdf5", ".hdf"):
         return HDF5Reader(p)
-    if p.suffix in (".zarr", ".zip") or p.is_dir():
+    if p.suffix in (".zarr", ".zip"):
+        return ZarrReader(p)
+    if p.is_dir():
+        # a directory can be a zarr store or a folder of NIfTI volumes:
+        # zarr markers win; .nii files anywhere one level into a group dir
+        # select NIfTI; marker-less directories keep the historic zarr
+        # interpretation (foreign-layout stores carry no root markers)
+        if (p / ".zgroup").exists() or (p / ".zarray").exists():
+            return ZarrReader(p)
+        if next(p.glob("*/*.nii*"), None) is not None \
+                or next(p.glob("*.nii*"), None) is not None:
+            return NiftiReader(p)
         return ZarrReader(p)
     raise ValueError(f"cannot infer reader for {path!r}")

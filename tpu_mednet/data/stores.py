@@ -125,13 +125,40 @@ class VolumeGroup:
             if store is not None and hasattr(store, "close"):
                 store.close()
 
-    def save(self, path, group: Optional[str] = None) -> None:
-        """Persist to ``.h5``/``.hdf5`` or zarr based on the path suffix.
+    def to_nifti(self, path, group: Optional[str] = None) -> None:
+        """Write per-key ``.nii.gz`` volumes under ``<path>[/<group>]``.
 
-        This is the intended behavior of the reference's save branch
-        (predict.py:100-115), whose suffix test was buggy (``.stem`` vs
-        ``.suffix``, SURVEY.md §2.4).
+        The inverse of ``NiftiReader``'s directory layout: channels-first
+        (C, X, Y, Z) arrays write as 3D NIfTI when C == 1, else as 4D with
+        the channel axis trailing; an ``affine`` attr (e.g. carried over
+        from the input volumes) lands in the sform.  Uses the bundled
+        dependency-free NIfTI-1 writer.
         """
+        from tpu_mednet.utils.nifti import save_nifti
+
+        base = Path(str(path)) / group if group else Path(str(path))
+        base.mkdir(parents=True, exist_ok=True)
+        for key, ds in self._datasets.items():
+            arr = np.asarray(ds.array)
+            if arr.ndim == 4:
+                arr = arr[0] if arr.shape[0] == 1 else np.moveaxis(arr, 0, -1)
+            affine = ds.attrs.get("affine")
+            save_nifti(base / f"{key}.nii.gz", arr,
+                       None if affine is None else np.asarray(affine))
+
+    def save(self, path, group: Optional[str] = None) -> None:
+        """Persist to ``.h5``/``.hdf5``, zarr, or a ``.nii`` directory.
+
+        Routed by path suffix — this is the intended behavior of the
+        reference's save branch (predict.py:100-115), whose suffix test
+        was buggy (``.stem`` vs ``.suffix``, SURVEY.md §2.4).  A path
+        named ``*.nii`` selects a directory of per-key ``.nii.gz`` files
+        (``to_nifti``), the same way ``*.zarr`` names a directory store.
+        """
+        name = Path(str(path)).name
+        if name.endswith(".nii") or name.endswith(".nii.gz"):
+            self.to_nifti(path, group)
+            return
         suffix = Path(str(path)).suffix
         if suffix in (".h5", ".hdf5", ".hdf"):
             self.to_hdf5(path, group)

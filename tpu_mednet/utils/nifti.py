@@ -78,14 +78,8 @@ def save_nifti(path, data: np.ndarray, affine: Optional[np.ndarray] = None) -> N
         path.write_bytes(payload)
 
 
-def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
-    """Read a NIfTI-1 file; returns (data, affine)."""
-    path = Path(str(path))
-    raw = (
-        gzip.open(path, "rb").read()
-        if str(path).endswith(".gz")
-        else path.read_bytes()
-    )
+def _parse_header(raw: bytes, path) -> Tuple[tuple, np.dtype, np.ndarray, int]:
+    """Parse a NIfTI-1 header blob -> (shape, dtype, affine, vox_offset)."""
     if struct.unpack_from("<i", raw, 0)[0] != _HEADER_SIZE:
         raise ValueError(f"{path} is not a little-endian NIfTI-1 file")
     magic = raw[344:348]
@@ -99,10 +93,6 @@ def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
         raise ValueError(f"unsupported NIfTI datatype code {code}")
     dtype = _CODE_TO_DTYPE[code]
     vox_offset = int(struct.unpack_from("<f", raw, 108)[0])
-    count = int(np.prod(shape))
-    data = np.frombuffer(
-        raw, dtype=dtype, count=count, offset=vox_offset
-    ).reshape(shape, order="F").copy()
 
     sform_code = struct.unpack_from("<h", raw, 254)[0]
     affine = np.eye(4)
@@ -113,6 +103,39 @@ def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
     else:
         pixdim = struct.unpack_from("<8f", raw, 76)
         affine[0, 0], affine[1, 1], affine[2, 2] = pixdim[1:4]
+    return shape, dtype, affine, vox_offset
+
+
+def read_nifti_header(path) -> Tuple[tuple, np.dtype, np.ndarray]:
+    """Read just the header of a .nii/.nii.gz; returns (shape, dtype, affine).
+
+    Streams the first 348 bytes only — for .gz this decompresses a single
+    deflate block, so shape/affine queries over a directory of volumes
+    (``NiftiReader.get_data_shape``) never touch the voxel payload.
+    """
+    path = Path(str(path))
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = f.read(_HEADER_SIZE)
+    if len(raw) < _HEADER_SIZE:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    shape, dtype, affine, _ = _parse_header(raw, path)
+    return shape, dtype, affine
+
+
+def load_nifti(path) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a NIfTI-1 file; returns (data, affine)."""
+    path = Path(str(path))
+    raw = (
+        gzip.open(path, "rb").read()
+        if str(path).endswith(".gz")
+        else path.read_bytes()
+    )
+    shape, dtype, affine, vox_offset = _parse_header(raw, path)
+    count = int(np.prod(shape))
+    data = np.frombuffer(
+        raw, dtype=dtype, count=count, offset=vox_offset
+    ).reshape(shape, order="F").copy()
     return data, affine
 
 
