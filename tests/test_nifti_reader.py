@@ -112,6 +112,33 @@ def test_open_reader_routing(tmp_path):
     r.close()
 
 
+def test_list_keys_across_readers(tmp_path):
+    from tpu_mednet.data import MemoryReader
+
+    make_nii_dataset(tmp_path / "nii", keys=("b", "a"))
+    assert NiftiReader(tmp_path / "nii").list_keys("images") == ["a", "b"]
+    assert NiftiReader(tmp_path / "nii").list_keys("missing") == []
+    mem = MemoryReader({"images": {"y": np.zeros((1, 2, 2, 2)),
+                                   "x": np.zeros((1, 2, 2, 2))}})
+    assert mem.list_keys("images") == ["x", "y"]
+    h5py = pytest.importorskip("h5py")
+    with h5py.File(tmp_path / "d.h5", "w") as hf:
+        hf.create_dataset("images/k1", data=np.zeros((1, 2, 2, 2)))
+        hf.create_dataset("images/k0", data=np.zeros((1, 2, 2, 2)))
+    r = HDF5Reader(tmp_path / "d.h5")
+    assert r.list_keys("images") == ["k0", "k1"]
+    r.close()
+    # zarr (bundled store works when the zarr package is absent)
+    from tpu_mednet.data.stores import VolumeGroup
+    g = VolumeGroup()
+    g.require_dataset("z1", (1, 2, 2, 2), np.uint8)
+    g.require_dataset("z0", (1, 2, 2, 2), np.uint8)
+    g.save(tmp_path / "s.zarr", group="images")
+    zr = ZarrReader(tmp_path / "s.zarr")
+    assert zr.list_keys("images") == ["z0", "z1"]
+    zr.close()
+
+
 def test_patch_sampler_over_nifti_directory(tmp_path):
     make_nii_dataset(tmp_path, keys=("s0",))
     sampler = PatchSampler(str(tmp_path), ["s0"], samples_per_subject=2,

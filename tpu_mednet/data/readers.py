@@ -70,6 +70,10 @@ class DataReader:
                            attribute: str) -> Dict[str, object]:
         raise NotImplementedError
 
+    def list_keys(self, group: str) -> list:
+        """Enumerate the subject keys stored under ``group`` (sorted)."""
+        raise NotImplementedError
+
     def close(self) -> None:
         pass
 
@@ -102,6 +106,9 @@ class HDF5Reader(DataReader):
     def get_data_attribute(self, subject_keys, group, attribute):
         return {k: self.hf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
 
+    def list_keys(self, group):
+        return sorted(self.hf[group].keys())
+
     def close(self):
         self.hf.close()
 
@@ -126,6 +133,9 @@ class ZarrReader(DataReader):
 
     def get_data_attribute(self, subject_keys, group, attribute):
         return {k: self.zf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
+
+    def list_keys(self, group):
+        return sorted(self.zf[group].keys())
 
     def close(self):
         # directory stores hold no handle, but a ZipStore keeps the zip
@@ -230,6 +240,16 @@ class NiftiReader(DataReader):
             for k in subject_keys
         }
 
+    def list_keys(self, group):
+        keys = set()
+        for p in (self.path_data / group).glob("*.nii*"):
+            name = p.name
+            for suffix in (".nii.gz", ".nii"):
+                if name.endswith(suffix):
+                    keys.add(name[: -len(suffix)])
+                    break
+        return sorted(keys)
+
 
 class MemoryReader(DataReader):
     """Reader over an in-memory ``{group: {key: array}}`` mapping.
@@ -259,6 +279,9 @@ class MemoryReader(DataReader):
             k: self.attrs.get(group, {}).get(k, {}).get(attribute, default)
             for k in subject_keys
         }
+
+    def list_keys(self, group):
+        return sorted(self.store[group].keys())
 
 
 # Backwards-compatible aliases matching the reference class names.
