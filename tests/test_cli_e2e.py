@@ -156,6 +156,12 @@ def test_predict_cli_end_to_end(workspace):
     affs = zr.get_data_attribute(["subj0"], "prediction", "affine")
     assert np.asarray(affs["subj0"]).shape == (4, 4)
 
+    # prediction.landmarks on a segmentation checkpoint is refused (no
+    # heatmap channels to read coordinates out of)
+    with pytest.raises(ValueError, match="no heatmap channels"):
+        predict_main(["-c", str(cfg_path),
+                      f"prediction.landmarks={workspace / 'lm.json'}"])
+
 
 def test_train_ldmks_cli_end_to_end(workspace):
     argv = seg_args(
@@ -396,6 +402,7 @@ def test_predict_cli_autodetects_landmark_task(workspace):
             "checkpoint": str(workspace / "model_ldmk2"),
             "chunk_size": 2,
             "stitch": "device",
+            "landmarks": str(workspace / "landmarks.json"),
             # no "model" key: auto-detected as LandmarkNet from hparams
         },
     }
@@ -407,6 +414,27 @@ def test_predict_cli_autodetects_landmark_task(workspace):
         # 2 heatmap channels + class map last (landmark postprocess)
         assert out.shape == (3, 32, 32, 32)
         assert out.dtype == np.uint8
+        expected = np.asarray(out[:2], np.float32)
+
+    # coordinate readout: argmax of the saved heatmap channels, physical
+    # coords through the identity affine the fixture stores
+    from tpu_mednet.utils.evaluation import heatmap_peaks
+    lm = json.loads((workspace / "landmarks.json").read_text())
+    assert set(lm) == {"subj0"} and len(lm["subj0"]) == 2
+    peaks = heatmap_peaks(expected)
+    for i, row in enumerate(lm["subj0"]):
+        assert row["voxel"] == [float(v) for v in peaks[i]]
+        assert row["physical"] == row["voxel"]  # identity affine
+        assert 0.0 <= row["peak"] <= 255.0
+
+    # CSV flavor: one row per (subject, landmark)
+    assert predict_main([
+        "-c", str(cfg_path),
+        f"prediction.landmarks={workspace / 'landmarks.csv'}",
+    ]) == 0
+    lines = (workspace / "landmarks.csv").read_text().strip().splitlines()
+    assert lines[0].startswith("subject,landmark,x_vox")
+    assert len(lines) == 3  # header + 2 landmarks
 
     # explicit wrong model refused (would bake the wrong postprocess)
     with pytest.raises(ValueError, match="trained as 'LandmarkNet'"):

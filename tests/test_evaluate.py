@@ -101,6 +101,24 @@ def test_landmark_errors_golden():
         landmark_errors(pred[:1], true)
 
 
+def test_landmark_readout_golden():
+    from tpu_mednet.utils.evaluation import landmark_readout
+
+    vol = np.zeros((3, 8, 8, 8), np.uint8)  # 2 heatmaps + class map
+    vol[0, 2, 3, 4] = 200
+    vol[2, :4] = 1  # class channel must not leak into the readout
+    affine = np.diag([2.0, 2.0, 2.0, 1.0])
+    affine[:3, 3] = (10.0, 0.0, -5.0)
+    rows = landmark_readout(vol, num_heatmaps=2, affine=affine)
+    assert rows[0]["voxel"] == [2.0, 3.0, 4.0]
+    assert rows[0]["peak"] == 200.0
+    assert rows[0]["physical"] == [14.0, 6.0, 3.0]
+    # undetected landmark: peak 0 (argmax of an all-zero channel)
+    assert rows[1]["peak"] == 0.0
+    # no affine -> no physical entry
+    assert "physical" not in landmark_readout(vol, 2)[0]
+
+
 def test_spacing_from_affine():
     aff = np.diag([2.0, 3.0, 4.0, 1.0])
     np.testing.assert_allclose(spacing_from_affine(aff), [2, 3, 4])

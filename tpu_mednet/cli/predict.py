@@ -57,6 +57,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     batch_size = pred.get("batch_size", 8)
     prediction_path = pred.get("data")
     prediction_group = pred.get("group", "prediction")
+    # landmark models can also emit coordinates directly: a .json/.csv
+    # path gets one argmax readout per (subject, landmark) with the peak
+    # amplitude and, when the volumes carry affines, physical coordinates
+    landmarks_path = pred.get("landmarks")
     checkpoint_path = replace_env(pred["checkpoint"])
     # optional: pin a saved step (default latest). 'best' is a DIRECTORY
     # (<model_dir>/best), so point prediction.checkpoint at it instead.
@@ -134,6 +138,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         task = LandmarkTask.from_hparams(hparams)
     else:
         task = SegmentationTask.from_hparams(hparams)
+    if landmarks_path and getattr(task, "num_heatmaps", 0) == 0:
+        raise ValueError(
+            "prediction.landmarks is set but the checkpoint is a "
+            f"{model_name} with no heatmap channels — coordinates can only "
+            "be read out of a landmark model's predictions"
+        )
 
     mesh = None
     devices = None
@@ -167,6 +177,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         devs, per_dev, _ = round_robin_placement(variables, devices)
         placement = RoundRobinPlacement(devs, per_dev)
 
+    all_landmarks: dict = {}
     for c, chunk in enumerate(chunks):
         logger.info("chunk %d/%d", c, chunk_num)
         if stitch == "device":
@@ -200,7 +211,38 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if prediction_path:
             results.save(replace_env(prediction_path), group=prediction_group)
             logger.info("saved %d volumes to %s", len(results), prediction_path)
+        if landmarks_path:
+            from tpu_mednet.utils.evaluation import landmark_readout
+            for key, ds in results.items():
+                all_landmarks[key] = landmark_readout(
+                    np.asarray(ds.array), task.num_heatmaps,
+                    affine=ds.attrs.get("affine"),
+                )
+    if landmarks_path:
+        _write_landmarks(replace_env(landmarks_path), all_landmarks)
+        logger.info("wrote landmark coordinates for %d subjects to %s",
+                    len(all_landmarks), landmarks_path)
     return 0
+
+
+def _write_landmarks(path: str, per_subject: dict) -> None:
+    """Write {subject: [readouts]} as JSON, or flat rows as CSV."""
+    import csv
+    import json as _json
+
+    if str(path).endswith(".csv"):
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            header = ["subject", "landmark", "x_vox", "y_vox", "z_vox",
+                      "peak", "x_mm", "y_mm", "z_mm"]
+            w.writerow(header)
+            for key, rows in per_subject.items():
+                for i, r in enumerate(rows):
+                    phys = r.get("physical", [None, None, None])
+                    w.writerow([key, i, *r["voxel"], r["peak"], *phys])
+    else:
+        with open(path, "w") as f:
+            _json.dump(per_subject, f, indent=2)
 
 
 def _coerce(v):

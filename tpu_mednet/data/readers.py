@@ -74,6 +74,10 @@ class DataReader:
         """Enumerate the subject keys stored under ``group`` (sorted)."""
         raise NotImplementedError
 
+    def list_groups(self) -> list:
+        """Enumerate the top-level groups of the store (sorted)."""
+        raise NotImplementedError
+
     def close(self) -> None:
         pass
 
@@ -109,6 +113,9 @@ class HDF5Reader(DataReader):
     def list_keys(self, group):
         return sorted(self.hf[group].keys())
 
+    def list_groups(self):
+        return sorted(self.hf.keys())
+
     def close(self):
         self.hf.close()
 
@@ -136,6 +143,9 @@ class ZarrReader(DataReader):
 
     def list_keys(self, group):
         return sorted(self.zf[group].keys())
+
+    def list_groups(self):
+        return sorted(self.zf.keys())
 
     def close(self):
         # directory stores hold no handle, but a ZipStore keeps the zip
@@ -250,6 +260,12 @@ class NiftiReader(DataReader):
                     break
         return sorted(keys)
 
+    def list_groups(self):
+        return sorted(
+            d.name for d in self.path_data.iterdir()
+            if d.is_dir() and next(d.glob("*.nii*"), None) is not None
+        )
+
 
 class MemoryReader(DataReader):
     """Reader over an in-memory ``{group: {key: array}}`` mapping.
@@ -282,6 +298,9 @@ class MemoryReader(DataReader):
 
     def list_keys(self, group):
         return sorted(self.store[group].keys())
+
+    def list_groups(self):
+        return sorted(self.store.keys())
 
 
 # Backwards-compatible aliases matching the reference class names.

@@ -154,6 +154,37 @@ def landmark_errors(
     return out
 
 
+def landmark_readout(
+    volume: np.ndarray,
+    num_heatmaps: int,
+    affine: Optional[np.ndarray] = None,
+) -> List[Dict[str, object]]:
+    """Extract landmark coordinates from a stitched prediction volume.
+
+    ``volume`` follows the predict layout: (C, X, Y, Z) with the heatmap
+    channels leading (`inference/sliding_window.py`).  Returns one dict per
+    landmark with ``voxel`` (argmax [x, y, z]), ``peak`` (heatmap amplitude
+    there, 0-255 convention — a peak of 0 means the landmark was not
+    detected anywhere in the volume), and ``physical`` ([x, y, z] mapped
+    through the RAS ``affine`` when one is supplied).
+    """
+    hm = np.asarray(volume[:num_heatmaps], np.float32)
+    peaks = heatmap_peaks(hm)
+    out: List[Dict[str, object]] = []
+    for i in range(num_heatmaps):
+        vox = peaks[i]
+        entry: Dict[str, object] = {
+            "voxel": [float(v) for v in vox],
+            "peak": float(hm[i][tuple(vox.astype(int))]),
+        }
+        if affine is not None:
+            affine = np.asarray(affine, np.float64)
+            phys = affine @ np.append(vox, 1.0)
+            entry["physical"] = [float(v) for v in phys[:3]]
+        out.append(entry)
+    return out
+
+
 def aggregate(per_subject: List[List[Dict[str, float]]]) -> List[Dict[str, float]]:
     """nanmean each (class/landmark, metric) cell over subjects."""
     if not per_subject:
