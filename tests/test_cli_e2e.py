@@ -436,6 +436,12 @@ def test_predict_cli_autodetects_landmark_task(workspace):
     assert lines[0].startswith("subject,landmark,x_vox")
     assert len(lines) == 3  # header + 2 landmarks
 
+    # channel_selection subsets the saved channels, so the heatmaps-first
+    # readout indexing would be wrong — the combination is refused
+    with pytest.raises(ValueError, match="channel_selection"):
+        predict_main(["-c", str(cfg_path),
+                      "prediction.channel_selection=[2]"])
+
     # explicit wrong model refused (would bake the wrong postprocess)
     with pytest.raises(ValueError, match="trained as 'LandmarkNet'"):
         predict_main(["-c", str(cfg_path),

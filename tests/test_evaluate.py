@@ -188,6 +188,67 @@ def test_cli_segmentation_scoring(seg_stores, capsys):
     assert rc == 0
 
 
+def test_cli_class_discovered_in_later_subject(tmp_path, capsys):
+    # regression: without --classes the count must grow across subjects —
+    # a class first seen in subject 2 was silently never scored
+    h5py = pytest.importorskip("h5py")
+    from tpu_mednet.cli.evaluate import main as evaluate_main
+
+    a = np.zeros((6, 6, 6), np.uint8)
+    a[1:3, 1:3, 1:3] = 1
+    b = a.copy()
+    b[4:6, 4:6, 4:6] = 2  # class 2 only exists in subject s1
+    with h5py.File(tmp_path / "truth.h5", "w") as hf:
+        hf.create_dataset("labels/s0", data=a[None])
+        hf.create_dataset("labels/s1", data=b[None])
+    with h5py.File(tmp_path / "pred.h5", "w") as hf:
+        hf.create_dataset("prediction/s0", data=a[None])
+        hf.create_dataset("prediction/s1", data=b[None])
+    rc = evaluate_main(["--pred", str(tmp_path / "pred.h5"),
+                        "--truth", str(tmp_path / "truth.h5"),
+                        "--json", str(tmp_path / "s.json")])
+    assert rc == 0
+    scores = json.loads((tmp_path / "s.json").read_text())
+    assert scores["n_classes"] == 3
+    seg = scores["mean"]["segmentation"]
+    assert len(seg) == 3 and seg[2]["dice"] == 1.0
+    # s0's padded class-2 row is nan (absent from both volumes there)
+    assert scores["subjects"]["s0"]["segmentation"][2]["dice"] != seg[2]["dice"]
+    capsys.readouterr()
+
+
+def test_cli_missing_pred_group_and_auto_heatmap_skip(tmp_path, capsys):
+    h5py = pytest.importorskip("h5py")
+    from tpu_mednet.cli.evaluate import main as evaluate_main
+
+    lbl = np.zeros((6, 6, 6), np.uint8)
+    lbl[2:4, 2:4, 2:4] = 1
+    with h5py.File(tmp_path / "truth.h5", "w") as hf:
+        hf.create_dataset("labels/s0", data=lbl[None])
+    # prediction with heatmap channels but NO heatmaps group in the truth:
+    # auto landmark scoring must skip with a warning, not crash
+    pred = np.concatenate([np.zeros((2, 6, 6, 6), np.uint8), lbl[None]])
+    with h5py.File(tmp_path / "pred.h5", "w") as hf:
+        hf.create_dataset("prediction/s0", data=pred)
+    rc = evaluate_main(["--pred", str(tmp_path / "pred.h5"),
+                        "--truth", str(tmp_path / "truth.h5"),
+                        "--json", str(tmp_path / "s.json")])
+    assert rc == 0
+    scores = json.loads((tmp_path / "s.json").read_text())
+    assert "landmarks" not in scores["mean"]
+    capsys.readouterr()
+    # but an EXPLICIT missing heatmap group fails fast
+    with pytest.raises(SystemExit, match="no heatmap volume"):
+        evaluate_main(["--pred", str(tmp_path / "pred.h5"),
+                       "--truth", str(tmp_path / "truth.h5"),
+                       "--heatmap_group", "nope"])
+    # and a wrong --pred_group fails with an actionable message
+    with pytest.raises(SystemExit, match="no group 'mispelled'"):
+        evaluate_main(["--pred", str(tmp_path / "pred.h5"),
+                       "--truth", str(tmp_path / "truth.h5"),
+                       "--pred_group", "mispelled"])
+
+
 def test_cli_landmark_scoring_over_nifti_dirs(tmp_path, capsys):
     from tpu_mednet.cli.evaluate import main as evaluate_main
     from tpu_mednet.utils.nifti import save_nifti

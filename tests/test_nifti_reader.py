@@ -112,6 +112,36 @@ def test_open_reader_routing(tmp_path):
     r.close()
 
 
+def test_wide_dtypes_roundtrip_and_flat_dir_refused(tmp_path):
+    from tpu_mednet.utils.nifti import load_nifti
+
+    # regression: int64 labels (torch-exported datasets) silently became
+    # float32 — the standard NIfTI-1 integer codes now round-trip
+    (tmp_path / "g").mkdir()
+    for dtype in (np.int8, np.uint32, np.int64, np.uint64):
+        top = min(np.iinfo(dtype).max, 2 ** 40)  # exact in float64
+        arr = np.linspace(0, top, 27).astype(dtype).reshape(3, 3, 3)
+        save_nifti(tmp_path / "g" / "v.nii.gz", arr)
+        got, _ = load_nifti(tmp_path / "g" / "v.nii.gz")
+        assert got.dtype == dtype
+        np.testing.assert_array_equal(got, arr)
+    # bool widens losslessly to uint8, float16 to float32
+    save_nifti(tmp_path / "g" / "b.nii", np.ones((2, 2, 2), bool))
+    got, _ = load_nifti(tmp_path / "g" / "b.nii")
+    assert got.dtype == np.uint8 and got.all()
+    save_nifti(tmp_path / "g" / "f.nii", np.ones((2, 2, 2), np.float16))
+    got, _ = load_nifti(tmp_path / "g" / "f.nii")
+    assert got.dtype == np.float32
+
+    # regression: a flat directory of .nii files routed to NiftiReader,
+    # which can never read that layout — now an actionable error
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    save_nifti(flat / "s0.nii.gz", np.zeros((2, 2, 2), np.float32))
+    with pytest.raises(ValueError, match="group directories"):
+        open_reader(flat)
+
+
 def test_list_keys_across_readers(tmp_path):
     from tpu_mednet.data import MemoryReader
 

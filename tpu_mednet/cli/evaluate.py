@@ -87,6 +87,11 @@ def _subject_keys(args, pred_reader) -> list:
         raise SystemExit(
             "--subjects is required for stores that cannot enumerate keys"
         )
+    except KeyError:
+        raise SystemExit(
+            f"prediction store has no group {args.pred_group!r} "
+            f"(set --pred_group to the group predict wrote)"
+        )
 
 
 def evaluate(args) -> dict:
@@ -107,7 +112,11 @@ def evaluate(args) -> dict:
 
     seg_rows, surf_rows, ldmk_rows = [], [], []
     heatmap_group = args.heatmap_group
-    n_classes = args.classes
+    auto_heatmaps = heatmap_group is None
+    # without --classes the class count grows with observed label values;
+    # rows computed before a later subject revealed a new class get padded
+    # with nan entries below (identical to "absent from both volumes")
+    n_classes = args.classes or 0
     per_subject: dict = {}
     for key in keys:
         pred = _read_volume(pred_reader, key, args.pred_group)
@@ -126,10 +135,9 @@ def evaluate(args) -> dict:
             heatmap_group = "heatmaps"
             logger.info("prediction has %d heatmap channels; scoring "
                         "landmarks against group 'heatmaps'", num_heatmaps)
-        if n_classes is None:
-            n_classes = int(max(pred_mask.max(), true_mask.max())) + 1
-            logger.info("evaluating %d classes (from label values)",
-                        n_classes)
+        if not args.classes:
+            n_classes = max(n_classes,
+                            int(max(pred_mask.max(), true_mask.max())) + 1)
 
         affine = _affine(truth_reader, key, args.label_group)
         spacing = spacing_from_affine(affine)
@@ -143,16 +151,41 @@ def evaluate(args) -> dict:
             surf_rows.append(surf)
             subject["surface"] = surf
         if num_heatmaps > 0 and heatmap_group:
-            true_hm = _read_volume(truth_reader, key, heatmap_group)
-            ldmk = landmark_errors(
-                np.asarray(pred[:num_heatmaps], np.float32),
-                np.asarray(true_hm[:num_heatmaps], np.float32),
-                spacing=spacing,
-            )
-            ldmk_rows.append(ldmk)
-            subject["landmarks"] = ldmk
+            try:
+                true_hm = _read_volume(truth_reader, key, heatmap_group)
+            except KeyError:
+                if not auto_heatmaps:
+                    raise SystemExit(
+                        f"truth store has no heatmap volume "
+                        f"{heatmap_group}/{key}"
+                    )
+                logger.warning(
+                    "truth store has no %r group; skipping landmark "
+                    "scoring", heatmap_group)
+                heatmap_group = ""  # disable for the remaining subjects
+                true_hm = None
+            if true_hm is not None:
+                ldmk = landmark_errors(
+                    np.asarray(pred[:num_heatmaps], np.float32),
+                    np.asarray(true_hm[:num_heatmaps], np.float32),
+                    spacing=spacing,
+                )
+                ldmk_rows.append(ldmk)
+                subject["landmarks"] = ldmk
         subject["spacing"] = [float(s) for s in spacing]
         per_subject[key] = subject
+
+    # pad rows computed before the class count grew (same lists back the
+    # per-subject JSON, so those pad in place too)
+    nan_seg = {k: float("nan") for k in
+               ("dice", "iou", "precision", "recall", "volume_error")}
+    for row in seg_rows:
+        row.extend(dict(nan_seg) for _ in range(n_classes - len(row)))
+    for row in surf_rows:
+        row.extend({"hd95": float("nan"), "assd": float("nan")}
+                   for _ in range(n_classes - len(row)))
+    logger.info("evaluated %d classes over %d subjects", n_classes,
+                len(keys))
 
     result = {
         "pred": str(args.pred),

@@ -72,23 +72,23 @@ def pack(src, dst, groups=None, subjects=None) -> int:
                 raise SystemExit(f"group {group!r} not found in {src}")
             if not keys:
                 raise SystemExit(f"no keys to copy from group {group!r}")
-            out = VolumeGroup()
-            affines = {}
-            for key in keys:
-                try:  # per-key: stores may carry affines on some volumes only
-                    affines[key] = reader.get_data_attribute(
-                        [key], group, "affine")[key]
-                except KeyError:
-                    pass
+            # stream one volume at a time: every destination format appends,
+            # so peak memory is a single volume, not the whole group
             for key, vol in zip(keys,
                                 reader.read(keys, group, preload=False)):
                 vol = np.asarray(vol)
+                out = VolumeGroup()
                 ds = out.require_dataset(key, vol.shape, vol.dtype)
                 ds[:] = vol
-                if affines.get(key) is not None:
-                    ds.attrs["affine"] = np.asarray(affines[key])
+                try:  # per-key: stores may carry affines on some volumes only
+                    affine = reader.get_data_attribute(
+                        [key], group, "affine")[key]
+                except KeyError:
+                    affine = None
+                if affine is not None:
+                    ds.attrs["affine"] = np.asarray(affine)
+                out.save(dst, group=group)
                 n += 1
-            out.save(dst, group=group)
             logger.info("group %s: %d volumes", group, len(keys))
         return n
     finally:

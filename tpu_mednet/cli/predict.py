@@ -144,6 +144,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             f"{model_name} with no heatmap channels — coordinates can only "
             "be read out of a landmark model's predictions"
         )
+    if landmarks_path and channel_selection is not None:
+        raise ValueError(
+            "prediction.landmarks needs the full heatmaps-first channel "
+            "layout; drop prediction.channel_selection (the readout would "
+            "index the wrong channels of a subset)"
+        )
 
     mesh = None
     devices = None

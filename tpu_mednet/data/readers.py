@@ -325,8 +325,13 @@ def open_reader(path, reader_cls=None) -> DataReader:
         # interpretation (foreign-layout stores carry no root markers)
         if (p / ".zgroup").exists() or (p / ".zarray").exists():
             return ZarrReader(p)
-        if next(p.glob("*/*.nii*"), None) is not None \
-                or next(p.glob("*.nii*"), None) is not None:
+        if next(p.glob("*/*.nii*"), None) is not None:
             return NiftiReader(p)
+        if next(p.glob("*.nii*"), None) is not None:
+            raise ValueError(
+                f"{path!s} holds loose .nii files at the top level; the "
+                f"NIfTI reader expects <root>/<group>/<key>.nii[.gz] — "
+                f"nest them in group directories (e.g. images/)"
+            )
         return ZarrReader(p)
     raise ValueError(f"cannot infer reader for {path!r}")

@@ -12,11 +12,14 @@ the reference's LPS->RAS affine construction
 from __future__ import annotations
 
 import gzip
+import logging
 import struct
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _DTYPE_TO_CODE = {
     np.dtype(np.uint8): (2, 8),
@@ -24,7 +27,11 @@ _DTYPE_TO_CODE = {
     np.dtype(np.int32): (8, 32),
     np.dtype(np.float32): (16, 32),
     np.dtype(np.float64): (64, 64),
+    np.dtype(np.int8): (256, 8),
     np.dtype(np.uint16): (512, 16),
+    np.dtype(np.uint32): (768, 32),
+    np.dtype(np.int64): (1024, 64),
+    np.dtype(np.uint64): (1280, 64),
 }
 _CODE_TO_DTYPE = {code: dt for dt, (code, _) in _DTYPE_TO_CODE.items()}
 
@@ -38,7 +45,14 @@ def save_nifti(path, data: np.ndarray, affine: Optional[np.ndarray] = None) -> N
     if data.ndim not in (3, 4):
         raise ValueError(f"NIfTI writer supports 3D/4D arrays, got {data.ndim}D")
     if data.dtype not in _DTYPE_TO_CODE:
-        data = data.astype(np.float32)
+        # lossless widenings stay quiet; anything else is worth a warning
+        target = np.uint8 if data.dtype == np.bool_ else np.float32
+        if data.dtype not in (np.bool_, np.float16):
+            logger.warning(
+                "NIfTI-1 has no dtype %s; writing %s as %s",
+                data.dtype, path, np.dtype(target).name,
+            )
+        data = data.astype(target)
     affine = np.eye(4) if affine is None else np.asarray(affine, dtype=np.float64)
     if affine.shape != (4, 4):
         raise ValueError(f"affine must be 4x4, got {affine.shape}")
