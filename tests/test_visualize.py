@@ -1,0 +1,115 @@
+"""mednet-visualize: post-hoc MIP figure rendering (cli/visualize.py).
+
+Beyond-reference ops tool — the reference renders MIPs only as
+training-time Neptune logs (`/root/reference/midasmednet/segmentation.py:67-92`)
+and a manual notebook; this CLI turns the same renderers
+(`tpu_mednet/utils/plots.py`) into a store-to-PNG surface.
+"""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+pytest.importorskip("matplotlib")
+
+from tpu_mednet.cli.visualize import main as visualize_main
+
+
+def _write_group(f, group, key, arr):
+    ds = f.create_dataset(f"{group}/{key}", data=arr)
+    ds.attrs["affine"] = np.eye(4)
+
+
+@pytest.fixture()
+def seg_stores(tmp_path):
+    """A tiny segmentation dataset + matching prediction store."""
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data.h5"
+    pred = tmp_path / "pred.h5"
+    with h5py.File(data, "w") as f:
+        for key in ("s0", "s1"):
+            _write_group(f, "images", key,
+                         rng.normal(size=(1, 12, 12, 12)).astype(np.float16))
+            lbl = np.zeros((1, 12, 12, 12), np.uint8)
+            lbl[0, 3:9, 3:9, 3:9] = 1
+            _write_group(f, "labels", key, lbl)
+    with h5py.File(pred, "w") as f:
+        for key in ("s0", "s1"):
+            p = np.zeros((1, 12, 12, 12), np.uint8)
+            p[0, 4:10, 3:9, 3:9] = 1
+            _write_group(f, "prediction", key, p)
+    return data, pred
+
+
+def test_seg_overlays(seg_stores, tmp_path, capsys):
+    data, pred = seg_stores
+    out = tmp_path / "figs"
+    rc = visualize_main(["--data", str(data), "--pred", str(pred),
+                         "--out", str(out)])
+    assert rc == 0
+    for key in ("s0", "s1"):
+        assert (out / f"{key}_images.png").stat().st_size > 0
+        assert (out / f"{key}_labels.png").stat().st_size > 0
+        # no heatmap channels anywhere -> no heatmap figure
+        assert not (out / f"{key}_heatmaps.png").exists()
+    assert "wrote 4 figures" in capsys.readouterr().out
+
+
+def test_landmark_heatmaps_auto_detected(tmp_path):
+    """A landmark prediction (heatmaps first, class last) plus a GT
+    'heatmaps' group produces the GT-vs-pred heatmap figure without any
+    --heatmap_group flag (mirrors mednet-evaluate's auto-detection)."""
+    rng = np.random.default_rng(1)
+    data = tmp_path / "data.h5"
+    pred = tmp_path / "pred.h5"
+    with h5py.File(data, "w") as f:
+        _write_group(f, "images", "s0",
+                     rng.normal(size=(1, 10, 10, 10)).astype(np.float16))
+        _write_group(f, "labels", "s0", np.zeros((1, 10, 10, 10), np.uint8))
+        hm = np.zeros((2, 10, 10, 10), np.uint8)
+        hm[0, 2, 2, 2] = 255
+        hm[1, 7, 7, 7] = 255
+        _write_group(f, "heatmaps", "s0", hm)
+    with h5py.File(pred, "w") as f:
+        pvol = np.zeros((3, 10, 10, 10), np.uint8)  # 2 heatmaps + class
+        pvol[0, 3, 2, 2] = 255
+        pvol[1, 7, 6, 7] = 255
+        _write_group(f, "prediction", "s0", pvol)
+    out = tmp_path / "figs"
+    rc = visualize_main(["--data", str(data), "--pred", str(pred),
+                         "--out", str(out)])
+    assert rc == 0
+    assert (out / "s0_heatmaps.png").stat().st_size > 0
+    assert (out / "s0_labels.png").exists()
+
+
+def test_pred_only_and_data_only(seg_stores, tmp_path):
+    data, pred = seg_stores
+    # prediction alone: single-row mask MIP, no image grid
+    out_p = tmp_path / "figs_pred"
+    assert visualize_main(["--pred", str(pred), "--out", str(out_p)]) == 0
+    assert (out_p / "s0_labels.png").exists()
+    assert not (out_p / "s0_images.png").exists()
+    # dataset alone: image grid + GT-only mask MIP
+    out_d = tmp_path / "figs_data"
+    assert visualize_main(["--data", str(data), "--out", str(out_d)]) == 0
+    assert (out_d / "s0_images.png").exists()
+    assert (out_d / "s0_labels.png").exists()
+
+
+def test_subject_subset_and_missing_key(seg_stores, tmp_path, caplog):
+    data, pred = seg_stores
+    keyfile = tmp_path / "keys.txt"
+    keyfile.write_text("s1\nmissing\n")
+    out = tmp_path / "figs"
+    rc = visualize_main(["--data", str(data), "--pred", str(pred),
+                         "--subjects", str(keyfile), "--out", str(out)])
+    assert rc == 0
+    assert (out / "s1_labels.png").exists()
+    assert not (out / "s0_labels.png").exists()
+    assert not any(out.glob("missing_*"))
+
+
+def test_requires_some_input(tmp_path):
+    with pytest.raises(SystemExit):
+        visualize_main(["--out", str(tmp_path / "figs")])
