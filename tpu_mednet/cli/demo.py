@@ -1,0 +1,211 @@
+"""Generate a ready-to-train synthetic demo dataset: mednet-demo.
+
+Beyond-reference ops tool: the reference assumes a lab-internal HDF5 file
+(`/root/reference/midasmednet/dataset.py:513-523` hardcodes one) — there is
+no way to try the pipeline without data.  mednet-demo writes a complete
+synthetic dataset (geometric structures with known labels and landmarks)
+plus keyfiles and wired-up YAML configs, so the whole workflow runs out of
+the box::
+
+    mednet-demo --out demo/
+    mednet-train-seg  -c demo/seg.yaml
+    mednet-train-ldmks -c demo/landmarks.yaml
+    mednet-predict    -c demo/predict_seg.yaml
+    mednet-evaluate   --pred demo/pred_seg.h5 --truth demo/data.h5
+    mednet-visualize  --data demo/data.h5 --pred demo/pred_seg.h5 --out demo/figs
+
+Each subject is a noisy volume with a bright sphere (class 1) and a dark
+box (class 2) at random positions; one Gaussian landmark heatmap sits at
+each structure's center (peak 255, reference heatmap convention).  Labels
+use the class-map-last-channel layout, heatmaps are a separate group —
+the `<file>/<group>/<key>` scheme of the reference
+(`/root/reference/midasmednet/dataset.py:210-280`).  Any writable store
+format works (``--format h5|zarr|nii``).  Pure host-side numpy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("demo")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", required=True, help="output directory")
+    parser.add_argument("--train", type=int, default=6,
+                        help="training subjects")
+    parser.add_argument("--val", type=int, default=2)
+    parser.add_argument("--test", type=int, default=2)
+    parser.add_argument("--size", type=int, default=64,
+                        help="cubic volume extent (>= 32)")
+    parser.add_argument("--sigma", type=float, default=4.0,
+                        help="landmark heatmap stddev in voxels")
+    parser.add_argument("--spacing", type=float, default=1.0,
+                        help="isotropic voxel spacing written to the affines")
+    parser.add_argument("--format", default="h5", choices=("h5", "zarr", "nii"),
+                        help="dataset store format")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log_level", type=str, default="INFO")
+    return parser
+
+
+def make_subject(rng: np.random.Generator, size: int, sigma: float):
+    """One subject: bright sphere (class 1) + dark box (class 2) on noise,
+    a Gaussian heatmap at each structure's center."""
+    img = rng.normal(0.0, 0.1, size=(size, size, size)).astype(np.float32)
+    lbl = np.zeros((size, size, size), dtype=np.uint8)
+    margin = max(size // 5, 8)
+
+    c1 = rng.integers(margin, size - margin, size=3)
+    r = int(rng.integers(size // 10, size // 6))
+    zz, yy, xx = np.ogrid[:size, :size, :size]
+    sphere = ((zz - c1[0]) ** 2 + (yy - c1[1]) ** 2
+              + (xx - c1[2]) ** 2) <= r * r
+    lbl[sphere] = 1
+    img[sphere] += 1.5
+
+    c2 = rng.integers(margin, size - margin, size=3)
+    h = max(int(rng.integers(size // 14, size // 9)), 2)
+    box = (slice(c2[0] - h, c2[0] + h), slice(c2[1] - h, c2[1] + h),
+           slice(c2[2] - h, c2[2] + h))
+    lbl[box] = 2
+    img[box] -= 1.5
+
+    heatmaps = np.zeros((2, size, size, size), dtype=np.uint8)
+    grid = np.stack(np.meshgrid(*[np.arange(size)] * 3, indexing="ij"))
+    for i, c in enumerate((c1, c2)):
+        d2 = ((grid - np.asarray(c)[:, None, None, None]) ** 2).sum(axis=0)
+        heatmaps[i] = np.round(
+            255.0 * np.exp(-d2 / (2 * sigma**2))).astype(np.uint8)
+    return img[None], lbl[None], heatmaps
+
+
+def write_dataset(out_dir: Path, fmt: str, n_train: int, n_val: int,
+                  n_test: int, size: int, sigma: float, spacing: float,
+                  seed: int) -> Path:
+    from tpu_mednet.data.stores import VolumeGroup
+
+    rng = np.random.default_rng(seed)
+    affine = np.diag([spacing, spacing, spacing, 1.0])
+    images, labels, heatmaps = VolumeGroup(), VolumeGroup(), VolumeGroup()
+    splits = (["train"] * n_train + ["val"] * n_val + ["test"] * n_test)
+    keys: dict = {"train": [], "val": [], "test": []}
+    for i, split in enumerate(splits):
+        key = f"s{i:03d}"
+        keys[split].append(key)
+        img, lbl, hm = make_subject(rng, size, sigma)
+        for vg, arr, dtype in ((images, img, np.float16),
+                               (labels, lbl, np.uint8),
+                               (heatmaps, hm, np.uint8)):
+            ds = vg.require_dataset(key, arr.shape, dtype)
+            ds[...] = arr.astype(dtype)
+            ds.attrs["affine"] = affine
+
+    data_path = out_dir / {"h5": "data.h5", "zarr": "data.zarr",
+                           "nii": "data.nii"}[fmt]
+    images.save(data_path, group="images")
+    labels.save(data_path, group="labels")
+    heatmaps.save(data_path, group="heatmaps")
+    for split, ks in keys.items():
+        (out_dir / f"{split}.txt").write_text("".join(k + "\n" for k in ks))
+    return data_path
+
+
+def write_configs(out_dir: Path, data_path: Path, size: int,
+                  sigma: float) -> None:
+    patch = min(size, 32)
+    d = str(out_dir)
+    (out_dir / "seg.yaml").write_text(f"""\
+# mednet-demo segmentation config (synthetic spheres-and-boxes dataset)
+data_path: {data_path}
+train_set: {d}/train.txt
+val_set: {d}/val.txt
+model_dir: {d}/model_seg
+log_dir: {d}/model_seg/logs
+patch_size: [{patch}, {patch}, {patch}]
+patches_per_subject: 4
+max_epochs: 8
+batch_size: 2
+fmaps: 16
+in_channels: 1
+out_channels: 3
+loss: DICE
+learning_rate: 0.001
+""")
+    (out_dir / "landmarks.yaml").write_text(f"""\
+# mednet-demo landmark config (2 heatmaps + 3-class auxiliary head)
+data_path: {data_path}
+train_set: {d}/train.txt
+val_set: {d}/val.txt
+model_dir: {d}/model_ldmks
+log_dir: {d}/model_ldmks/logs
+heatmap_group: heatmaps
+patch_size: [{patch}, {patch}, {patch}]
+patches_per_subject: 4
+max_epochs: 8
+batch_size: 2
+fmaps: 16
+in_channels: 1
+out_channels: 5          # 2 heatmaps + 3 classes
+loss_class: DICE
+loss_regression: L2
+loss_regression_weight: [0.02, 0.02]
+learning_rate: 0.001
+""")
+    overlap = max(patch // 8, 2)
+    for short, model, sigma_line in (
+            ("seg", "SegmentationNet", "null"),
+            ("ldmks", "LandmarkNet", f"[{sigma}, {sigma}]")):
+        (out_dir / f"predict_{short}.yaml").write_text(f"""\
+# mednet-demo prediction config ({model})
+base:
+  data: {data_path}
+  image_group: images
+  sigma: {sigma_line}
+prediction:
+  test_set: {d}/test.txt
+  patch_size: [{patch}, {patch}, {patch}]
+  patch_overlap: [{overlap}, {overlap}, {overlap}]
+  batch_size: 4
+  data: {d}/pred_{short}.h5
+  group: prediction
+  checkpoint: {d}/model_{short}
+  chunk_size: 8
+  model: {model}
+  stitch: device
+""")
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.log_level)
+    if args.size < 32:
+        raise SystemExit("--size must be >= 32 (structures need room)")
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    data_path = write_dataset(out_dir, args.format, args.train, args.val,
+                              args.test, args.size, args.sigma, args.spacing,
+                              args.seed)
+    write_configs(out_dir, data_path, args.size, args.sigma)
+    n = args.train + args.val + args.test
+    print(f"wrote {n} subjects ({args.size}^3) to {data_path}")
+    print("next steps:")
+    print(f"  mednet-train-seg   -c {out_dir}/seg.yaml")
+    print(f"  mednet-train-ldmks -c {out_dir}/landmarks.yaml")
+    print(f"  mednet-predict     -c {out_dir}/predict_seg.yaml")
+    print(f"  mednet-evaluate    --pred {out_dir}/pred_seg.h5 "
+          f"--truth {data_path}")
+    print(f"  mednet-visualize   --data {data_path} "
+          f"--pred {out_dir}/pred_seg.h5 --out {out_dir}/figs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
