@@ -98,6 +98,22 @@ def test_other_store_formats(tmp_path, fmt, name):
         reader.close()
 
 
+def test_rerun_replaces_stale_subjects(tmp_path):
+    """Re-generating into the same --out with fewer subjects must not
+    leave keys from the previous (larger) run in the store."""
+    pytest.importorskip("h5py")
+    out = tmp_path / "demo"
+    assert demo_main(["--out", str(out), "--train", "4", "--val", "1",
+                      "--test", "1", "--size", "32"]) == 0
+    assert demo_main(["--out", str(out), "--train", "1", "--val", "1",
+                      "--test", "1", "--size", "32"]) == 0
+    reader = open_reader(out / "data.h5")
+    try:
+        assert reader.list_keys("images") == ["s000", "s001", "s002"]
+    finally:
+        reader.close()
+
+
 def test_size_guard(tmp_path):
     with pytest.raises(SystemExit):
         demo_main(["--out", str(tmp_path / "d"), "--size", "16"])

@@ -110,6 +110,14 @@ def write_dataset(out_dir: Path, fmt: str, n_train: int, n_val: int,
 
     data_path = out_dir / {"h5": "data.h5", "zarr": "data.zarr",
                            "nii": "data.nii"}[fmt]
+    # the store writers append (h5 mode="a" / zarr require_group): start
+    # fresh so re-running into the same --out never leaves stale subjects
+    if data_path.is_dir():
+        import shutil
+
+        shutil.rmtree(data_path)
+    elif data_path.exists():
+        data_path.unlink()
     images.save(data_path, group="images")
     labels.save(data_path, group="labels")
     heatmaps.save(data_path, group="heatmaps")
