@@ -114,6 +114,19 @@ def test_rerun_replaces_stale_subjects(tmp_path):
         reader.close()
 
 
+def test_structures_never_overlap_across_seeds():
+    """The box redraw keeps each landmark heatmap peak inside its own
+    structure for arbitrary seeds, not just the default."""
+    from tpu_mednet.cli.demo import make_subject
+
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        _, lbl, hm = make_subject(rng, 32, 4.0)
+        for c, cls in ((0, 1), (1, 2)):
+            peak = np.unravel_index(np.argmax(hm[c]), hm[c].shape)
+            assert lbl[0][peak] == cls, f"seed {seed} channel {c}"
+
+
 def test_size_guard(tmp_path):
     with pytest.raises(SystemExit):
         demo_main(["--out", str(tmp_path / "d"), "--size", "16"])

@@ -113,3 +113,55 @@ def test_subject_subset_and_missing_key(seg_stores, tmp_path, caplog):
 def test_requires_some_input(tmp_path):
     with pytest.raises(SystemExit):
         visualize_main(["--out", str(tmp_path / "figs")])
+
+
+def test_seg_prediction_skips_auto_gt_heatmaps(seg_stores, tmp_path):
+    """A dataset WITH a heatmaps group visualized against a segmentation
+    prediction (no heatmap channels) must not emit heatmap figures — the
+    auto-detection is confirmed against the prediction layout."""
+    data, pred = seg_stores
+    with h5py.File(data, "a") as f:
+        hm = np.zeros((2, 12, 12, 12), np.uint8)
+        hm[0, 3, 3, 3] = 255
+        _write_group(f, "heatmaps", "s0", hm)
+        _write_group(f, "heatmaps", "s1", hm)
+    out = tmp_path / "figs"
+    assert visualize_main(["--data", str(data), "--pred", str(pred),
+                           "--out", str(out)]) == 0
+    assert not list(out.glob("*_heatmaps.png"))
+    # explicit --heatmap_group still renders them (GT-only, mirrored)
+    out2 = tmp_path / "figs2"
+    assert visualize_main(["--data", str(data), "--pred", str(pred),
+                           "--heatmap_group", "heatmaps",
+                           "--out", str(out2)]) == 0
+    assert (out2 / "s0_heatmaps.png").exists()
+
+
+def test_heatmap_channel_mismatch_renders_pred_only(tmp_path, caplog):
+    rng = np.random.default_rng(2)
+    data = tmp_path / "data.h5"
+    pred = tmp_path / "pred.h5"
+    with h5py.File(data, "w") as f:
+        _write_group(f, "images", "s0",
+                     rng.normal(size=(1, 10, 10, 10)).astype(np.float16))
+        _write_group(f, "heatmaps", "s0",
+                     np.zeros((3, 10, 10, 10), np.uint8))  # 3 GT channels
+    with h5py.File(pred, "w") as f:
+        # 2 predicted heatmap channels + class map -> mismatch vs 3 GT
+        _write_group(f, "prediction", "s0",
+                     np.zeros((3, 10, 10, 10), np.uint8))
+    out = tmp_path / "figs"
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="visualize"):
+        assert visualize_main(["--data", str(data), "--pred", str(pred),
+                               "--label_group", "", "--out", str(out)]) == 0
+    assert (out / "s0_heatmaps.png").exists()
+    assert any("heatmap channels" in r.message for r in caplog.records)
+
+
+def test_wrong_pred_group_fails_cleanly(seg_stores, tmp_path):
+    _, pred = seg_stores
+    with pytest.raises(SystemExit, match="pred_group"):
+        visualize_main(["--pred", str(pred), "--pred_group", "predictions",
+                        "--out", str(tmp_path / "figs")])

@@ -71,10 +71,18 @@ def make_subject(rng: np.random.Generator, size: int, sigma: float):
     lbl[sphere] = 1
     img[sphere] += 1.5
 
-    c2 = rng.integers(margin, size - margin, size=3)
-    h = max(int(rng.integers(size // 14, size // 9)), 2)
-    box = (slice(c2[0] - h, c2[0] + h), slice(c2[1] - h, c2[1] + h),
-           slice(c2[2] - h, c2[2] + h))
+    # the box must not overwrite the sphere (each landmark's heatmap peak
+    # sits inside its own structure); redraw on overlap — the sphere covers
+    # a small fraction of the volume, so a handful of tries always suffices
+    for _ in range(1000):
+        c2 = rng.integers(margin, size - margin, size=3)
+        h = max(int(rng.integers(size // 14, size // 9)), 2)
+        box = (slice(c2[0] - h, c2[0] + h), slice(c2[1] - h, c2[1] + h),
+               slice(c2[2] - h, c2[2] + h))
+        if not lbl[box].any():
+            break
+    else:
+        raise RuntimeError("could not place a non-overlapping box")
     lbl[box] = 2
     img[box] -= 1.5
 

@@ -65,8 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _read_volume(reader, key: str, group: str) -> np.ndarray:
-    return np.asarray(next(iter(
-        reader.read([key], group, dtype=None, preload=False))))
+    from tpu_mednet.data.readers import read_single_volume
+
+    return read_single_volume(reader, key, group)
 
 
 def _affine(reader, key: str, group: str) -> Optional[np.ndarray]:

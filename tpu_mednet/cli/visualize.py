@@ -74,9 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _read_volume(reader, key: str, group: str) -> Optional[np.ndarray]:
+    from tpu_mednet.data.readers import read_single_volume
+
     try:
-        return np.asarray(next(iter(
-            reader.read([key], group, dtype=None, preload=False))))
+        return read_single_volume(reader, key, group)
     except KeyError:
         return None
 
@@ -95,8 +96,8 @@ def _normalized(img: np.ndarray) -> np.ndarray:
 def _single_mask_figure(mask: np.ndarray, mip_axis: int,
                         background: Optional[np.ndarray], alpha: float,
                         projection: str):
-    """One-row variant of ``vis_loglabels`` for when only one of pred/GT
-    exists (the two-row renderer would duplicate or mislabel a row)."""
+    """One-tile variant of ``vis_loglabels`` for when only one of pred/GT
+    exists (the two-tile renderer would duplicate or mislabel a tile)."""
     import matplotlib.pyplot as plt
 
     mip = np.max(np.asarray(mask), axis=mip_axis)
@@ -151,7 +152,8 @@ def render_subject(key: str, out_dir: Path, image: Optional[np.ndarray],
         fig, _ = plots.vis_loglabels(
             gt_class, pred_class, mip_axis=mip_axis, inputs=bg,
             alpha=alpha, projection_type=projection)
-        fig.suptitle(f"{key} — pred (top) vs truth (bottom)")
+        # vis_loglabels tiles [pred, truth] into one make_grid row
+        fig.suptitle(f"{key} — pred (left) vs truth (right)")
         save(fig, "labels")
     elif pred_class is not None or gt_class is not None:
         mask = pred_class if pred_class is not None else gt_class
@@ -162,6 +164,13 @@ def render_subject(key: str, out_dir: Path, image: Optional[np.ndarray],
 
     pred_hm = pred[:-1] if pred is not None and pred.ndim == 4 \
         and pred.shape[0] > 1 else None
+    if pred_hm is not None and gt_heatmaps is not None \
+            and pred_hm.shape[0] != gt_heatmaps.shape[0]:
+        logger.warning(
+            "subject %s: prediction has %d heatmap channels but ground "
+            "truth has %d — rendering the prediction only", key,
+            pred_hm.shape[0], gt_heatmaps.shape[0])
+        gt_heatmaps = None
     if pred_hm is not None or gt_heatmaps is not None:
         # vis_logheatmaps needs both rows; mirror the available one so the
         # figure stays honest via its suptitle
@@ -203,17 +212,27 @@ def visualize(data=None, pred=None, out="figs", subjects=None,
     data_reader = open_reader(data) if data else None
     pred_reader = open_reader(pred) if pred else None
     try:
-        if subjects:
-            keys = list(subjects)
-        elif pred_reader is not None:
-            keys = pred_reader.list_keys(pred_group)
-        else:
-            keys = data_reader.list_keys(image_group)
+        try:
+            if subjects:
+                keys = list(subjects)
+            elif pred_reader is not None:
+                keys = pred_reader.list_keys(pred_group)
+            else:
+                keys = data_reader.list_keys(image_group)
+        except KeyError:
+            which = (f"prediction store has no group {pred_group!r} (set "
+                     f"--pred_group)") if pred_reader is not None else (
+                     f"dataset has no group {image_group!r} (set "
+                     f"--image_group)")
+            raise SystemExit(which)
         if not keys:
             raise SystemExit("no subjects to render")
 
-        # auto heatmap group, mirroring mednet-evaluate's detection
-        if heatmap_group is None and data_reader is not None:
+        # auto heatmap group, mirroring mednet-evaluate's detection; with a
+        # prediction present it is confirmed per subject below (only a
+        # landmark prediction — extra leading channels — uses it)
+        hm_auto = heatmap_group is None
+        if hm_auto and data_reader is not None:
             try:
                 if data_reader.list_keys("heatmaps"):
                     heatmap_group = "heatmaps"
@@ -235,6 +254,11 @@ def visualize(data=None, pred=None, out="figs", subjects=None,
                 continue
             if gt_hm is not None and gt_hm.ndim == 3:
                 gt_hm = gt_hm[None]
+            if gt_hm is not None and hm_auto and pvol is not None \
+                    and not (pvol.ndim == 4 and pvol.shape[0] > 1):
+                # auto-detected GT heatmaps, but the prediction carries no
+                # heatmap channels (segmentation run): skip the figure
+                gt_hm = None
             paths = render_subject(
                 key, out_dir, image, gt_label, gt_hm, pvol,
                 mip_axis=mip_axis, projection=projection, steps=steps,

@@ -309,6 +309,16 @@ DataReaderZarr = ZarrReader
 DataReaderNifti = NiftiReader
 
 
+def read_single_volume(reader: DataReader, key: str, group: str) -> np.ndarray:
+    """One subject's volume in its stored dtype (no preload cast).
+
+    The shared idiom of the host-side ops CLIs (evaluate/visualize);
+    raises the reader's ``KeyError`` for a missing key or group.
+    """
+    return np.asarray(next(iter(
+        reader.read([key], group, dtype=None, preload=False))))
+
+
 def open_reader(path, reader_cls=None) -> DataReader:
     """Pick a reader by file suffix unless an explicit class is given."""
     if reader_cls is not None:
