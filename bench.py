@@ -62,6 +62,17 @@ def wait_for_backend(retries: int = 6, probe_timeout: int = 120,
 
 
 def main():
+    import argparse
+
+    # no-arg invocation is the driver's headline metric and must stay
+    # byte-compatible; the knobs exist for documented variant rows
+    # (docs/PERFORMANCE.md), e.g. --in_channels 4 = the BASELINE config 4
+    # multi-modality first-conv shape
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in_channels", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
     wait_for_backend()
     import jax
     import jax.numpy as jnp
@@ -73,17 +84,18 @@ def main():
     from tpu_mednet.train import create_train_state, make_train_step
 
     PATCH = 96
-    BATCH = 32
+    BATCH = args.batch
+    C_IN = args.in_channels
     ITERS = 20
     WARMUP = 3
 
-    model = ResidualUNet3D(in_channels=1, out_channels=2, f_maps=32, remat=1, packed=True)
+    model = ResidualUNet3D(in_channels=C_IN, out_channels=2, f_maps=32, remat=1, packed=True)
     task = SegmentationTask(model=model, loss="DICE")
     mesh = make_mesh(n_data=min(len(jax.devices()), 8))
     n_dev = mesh.shape["data"]
 
     state = create_train_state(
-        model, (BATCH, PATCH, PATCH, PATCH, 1), learning_rate=1e-3, seed=0
+        model, (BATCH, PATCH, PATCH, PATCH, C_IN), learning_rate=1e-3, seed=0
     )
     state = jax.device_put(state, replicated(mesh))
     step = make_train_step(task, augment=AugmentConfig(mirror_axes=(1, 2, 3)))
@@ -91,7 +103,7 @@ def main():
     rng = np.random.default_rng(0)
     batch = {
         "data": jax.device_put(
-            rng.normal(size=(BATCH, PATCH, PATCH, PATCH, 1)).astype(np.float32),
+            rng.normal(size=(BATCH, PATCH, PATCH, PATCH, C_IN)).astype(np.float32),
             batch_sharding(mesh),
         ),
         "label": jax.device_put(
@@ -106,7 +118,7 @@ def main():
     from tpu_mednet.utils.flops import unet_train_step_flops
 
     step_flops = unet_train_step_flops(
-        in_channels=1, out_channels=2,
+        in_channels=C_IN, out_channels=2,
         feature_maps=model.config.feature_maps,
         patch=(PATCH, PATCH, PATCH), batch=BATCH, block="residual",
     )
@@ -137,8 +149,11 @@ def main():
         if step_flops else None
     )
 
+    metric = "train_patches_per_sec_per_chip_96cubed"
+    if C_IN != 1:
+        metric += f"_in{C_IN}"
     print(json.dumps({
-        "metric": "train_patches_per_sec_per_chip_96cubed",
+        "metric": metric,
         "value": round(pps_per_chip, 3),
         "unit": "patches/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -30,6 +30,11 @@ def main():
                     metavar="AXIS",
                     help="measure with mirror TTA (bare --tta = all three "
                          "axes): 2^k forwards per patch")
+    ap.add_argument("--ab", type=int, default=0, metavar="N",
+                    help="interleaved A/B: after warming BOTH modes, "
+                         "alternate device/gaussian passes N times over the "
+                         "same volumes and report every round — separates "
+                         "the mode effect from tunnel day-variance")
     args = ap.parse_args()
     from tpu_mednet.inference.common import normalize_tta
     tta_flips = () if args.tta is None else (normalize_tta(args.tta)
@@ -74,26 +79,47 @@ def main():
     # TTA multiplies the executed forward work by 2^k
     vol_tflop *= 2 ** len(tta_flips)
 
-    results = {}
-    for name, fn in [
+    modes = [
         ("device", predict_volumes_on_device),
         ("gaussian", predict_volumes_weighted_on_device),
-    ]:
-        common = dict(
-            patch_size=(args.patch,) * 3, patch_overlap=(args.overlap,) * 3,
-            batch_size=args.batch, reader=reader, tta_flips=tta_flips,
-        )
-        fn(task, variables, None, keys[:1], **common)  # compile warmup
+    ]
+    common = dict(
+        patch_size=(args.patch,) * 3, patch_overlap=(args.overlap,) * 3,
+        batch_size=args.batch, reader=reader, tta_flips=tta_flips,
+    )
+
+    def timed_pass(fn):
         t0 = time.perf_counter()
         out = fn(task, variables, None, keys, **common)
         # output arrays are host numpy already (device_get inside)
         _ = sum(int(np.asarray(out[k][:]).sum()) % 2 for k in keys)
-        dt = time.perf_counter() - t0
-        results[name] = round(args.volumes / dt * 60.0, 1)
-        results[name + "_tflops"] = round(
-            args.volumes * vol_tflop / dt, 1
-        )
-    print(json.dumps({
+        return time.perf_counter() - t0
+
+    results = {}
+    if args.ab:
+        # warm BOTH compilations first, then alternate: every round pair
+        # sees the same tunnel conditions
+        for _, fn in modes:
+            fn(task, variables, None, keys[:1], **common)
+        rounds = {name: [] for name, _ in modes}
+        for _ in range(args.ab):
+            for name, fn in modes:
+                dt = timed_pass(fn)
+                rounds[name].append(round(args.volumes / dt * 60.0, 1))
+        for name, _ in modes:
+            results[name] = round(float(np.mean(rounds[name])), 1)
+            results[name + "_tflops"] = round(
+                results[name] / 60.0 * vol_tflop, 1)
+    else:
+        rounds = None
+        for name, fn in modes:
+            fn(task, variables, None, keys[:1], **common)  # compile warmup
+            dt = timed_pass(fn)
+            results[name] = round(args.volumes / dt * 60.0, 1)
+            results[name + "_tflops"] = round(
+                args.volumes * vol_tflop / dt, 1
+            )
+    record = {
         "metric": "volumes_per_min_128cubed",
         "stitch_device": results["device"],
         "stitch_gaussian": results["gaussian"],
@@ -102,7 +128,10 @@ def main():
         "batch": args.batch,
         "tta": list(tta_flips) or False,
         "unit": "volumes/min",
-    }))
+    }
+    if rounds is not None:
+        record["ab_rounds"] = rounds
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

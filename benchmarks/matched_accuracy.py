@@ -144,12 +144,12 @@ def landmark_error(pred_heatmaps, true_coords):
 # torch side (architecture-identical to the reference model)
 # --------------------------------------------------------------------------
 
-def run_torch(task, train, val, sched, steps):
+def run_torch(task, train, val, sched, steps, seed=0):
     import torch
     import torch.nn.functional as F
     from torch_baseline import TorchResidualUNet3D, dice_loss
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     out_ch = N_CLASSES + (N_HEATMAPS if task == "ldmk" else 0)
     model = TorchResidualUNet3D(in_ch=1, out_ch=out_ch, f=FMAPS, levels=LEVELS)
     n_params = sum(p.numel() for p in model.parameters())
@@ -188,7 +188,7 @@ def run_torch(task, train, val, sched, steps):
 # tpu-mednet side (shipping config: params fp32, compute bf16)
 # --------------------------------------------------------------------------
 
-def run_jax(task, train, val, sched, steps, dtype="bfloat16"):
+def run_jax(task, train, val, sched, steps, dtype="bfloat16", seed=0):
     import jax
     import jax.numpy as jnp
     from tpu_mednet.models import ResidualUNet3D
@@ -207,7 +207,8 @@ def run_jax(task, train, val, sched, steps, dtype="bfloat16"):
     else:
         t = SegmentationTask(model=model, loss="DICE")
     step = make_train_step(t)
-    state = create_train_state(model, (BATCH, PATCH, PATCH, PATCH, 1), LR, seed=0)
+    state = create_train_state(model, (BATCH, PATCH, PATCH, PATCH, 1), LR,
+                               seed=seed)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state.params))
 
@@ -264,6 +265,11 @@ def main():
     ap.add_argument("--levels", type=int, default=LEVELS)
     ap.add_argument("--size", type=int, default=SIZE,
                     help="synthetic subject volume extent")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training-run seed (model init + patch schedule); "
+                         "the dataset stays fixed, so seeds measure RUN "
+                         "noise on the same task (multi-seed accuracy "
+                         "study, BASELINE.md)")
     args = ap.parse_args()
     if args.patch > args.size:
         ap.error(f"--patch {args.patch} must be <= --size {args.size}")
@@ -282,22 +288,27 @@ def main():
     results = json.loads(out_path.read_text()) if out_path.exists() else {}
     for task in tasks:
         train, val = make_dataset()
-        sched = draw_patch_schedule(train, args.steps)
+        # --seed varies the run (init + schedule), never the dataset
+        sched = draw_patch_schedule(train, args.steps, seed=1 + args.seed)
         key_name = (f"{task}_p{PATCH}f{FMAPS}s{SIZE}l{LEVELS}" if non_default
                     else task)
+        if args.seed:
+            key_name += f"_seed{args.seed}"
         entry = results.setdefault(key_name, {})
         entry["config"] = {
             "patch": PATCH, "batch": BATCH, "steps": args.steps,
             "fmaps": FMAPS, "levels": LEVELS, "lr": LR, "size": SIZE,
             "n_classes": N_CLASSES, "n_heatmaps": N_HEATMAPS,
+            "seed": args.seed,
         }
         if args.skip != "torch":
-            entry["torch"] = run_torch(task, train, val, sched, args.steps)
+            entry["torch"] = run_torch(task, train, val, sched, args.steps,
+                                       seed=args.seed)
         if args.skip != "jax":
             key = "tpu_mednet" if args.dtype == "bfloat16" \
                 else f"tpu_mednet_{args.dtype}"
             entry[key] = run_jax(task, train, val, sched, args.steps,
-                                 dtype=args.dtype)
+                                 dtype=args.dtype, seed=args.seed)
         out_path.write_text(json.dumps(results, indent=2))
     print(f"wrote {out_path}")
 

@@ -130,3 +130,63 @@ def test_structures_never_overlap_across_seeds():
 def test_size_guard(tmp_path):
     with pytest.raises(SystemExit):
         demo_main(["--out", str(tmp_path / "d"), "--size", "16"])
+
+
+def test_multimodal_multiheatmap_store(tmp_path):
+    """--modalities/--heatmaps/--classes generate the BASELINE config 4/5
+    store shapes: 4 image channels, 6 landmark heatmaps, 2-class labels."""
+    pytest.importorskip("h5py")
+    import yaml
+
+    out = _generate(tmp_path, extra=["--modalities", "4", "--heatmaps", "6",
+                                     "--classes", "2"])
+    reader = open_reader(out / "data.h5")
+    try:
+        img = np.asarray(next(iter(reader.read(
+            ["s000"], "images", dtype=None, preload=False))))
+        lbl = np.asarray(next(iter(reader.read(
+            ["s000"], "labels", dtype=None, preload=False))))
+        hm = np.asarray(next(iter(reader.read(
+            ["s000"], "heatmaps", dtype=None, preload=False))))
+    finally:
+        reader.close()
+    assert img.shape == (4, 32, 32, 32)
+    # modalities differ (per-modality contrasts), structures visible in all
+    assert not np.allclose(img[0], img[1])
+    assert lbl.shape == (1, 32, 32, 32)
+    assert set(np.unique(lbl)) == {0, 1}  # --classes 2 merges structures
+    assert hm.shape == (6, 32, 32, 32)
+    # every landmark peak sits on foreground (anchors inside structures)
+    for c in range(6):
+        peak = np.unravel_index(np.argmax(hm[c]), hm[c].shape)
+        assert hm[c][peak] == 255
+        assert lbl[0][peak] == 1
+    # wired configs carry the channel arithmetic
+    seg = yaml.safe_load((out / "seg.yaml").read_text())
+    assert seg["in_channels"] == 4 and seg["out_channels"] == 2
+    ldmk = yaml.safe_load((out / "landmarks.yaml").read_text())
+    assert ldmk["out_channels"] == 8  # 6 heatmaps + 2 classes
+    assert len(ldmk["loss_regression_weight"]) == 6
+    pred = yaml.safe_load((out / "predict_ldmks.yaml").read_text())
+    assert len(pred["base"]["sigma"]) == 6
+
+
+def test_rerun_resets_stale_outputs(tmp_path, caplog):
+    """Re-running into an existing --out removes stale model dirs and
+    prediction files (they no longer match the regenerated store)."""
+    import logging
+
+    pytest.importorskip("h5py")
+    out = _generate(tmp_path)
+    (out / "model_seg").mkdir()
+    (out / "model_seg" / "ckpt").write_text("stale")
+    (out / "pred_seg.h5").write_text("stale")
+    (out / "figs").mkdir()
+    with caplog.at_level(logging.WARNING):
+        rc = demo_main(["--out", str(out), "--train", "2", "--val", "1",
+                        "--test", "1", "--size", "32"])
+    assert rc == 0
+    assert not (out / "model_seg").exists()
+    assert not (out / "pred_seg.h5").exists()
+    assert not (out / "figs").exists()
+    assert any("stale" in r.message for r in caplog.records)

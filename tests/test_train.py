@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpu_mednet.data import MemoryReader, PatchSampler
 from tpu_mednet.models import UNet3DBase, UNetConfig
 from tpu_mednet.ops.augment import AugmentConfig

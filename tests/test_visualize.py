@@ -165,3 +165,46 @@ def test_wrong_pred_group_fails_cleanly(seg_stores, tmp_path):
     with pytest.raises(SystemExit, match="pred_group"):
         visualize_main(["--pred", str(pred), "--pred_group", "predictions",
                         "--out", str(tmp_path / "figs")])
+
+
+def test_mistyped_group_warns_after_loop(seg_stores, tmp_path, caplog):
+    """--pred + a mistyped --image_group must not silently drop the image
+    figures for every subject: a post-loop warning names the group."""
+    import logging
+
+    data, pred = seg_stores
+    out = tmp_path / "figs"
+    with caplog.at_level(logging.WARNING):
+        rc = visualize_main(["--data", str(data), "--pred", str(pred),
+                             "--image_group", "imagez", "--out", str(out)])
+    assert rc == 0
+    # label/pred figures still rendered
+    assert (out / "s0_labels.png").exists()
+    assert not (out / "s0_images.png").exists()
+    warn = [r for r in caplog.records if "imagez" in r.message]
+    assert warn and "--image_group" in warn[0].message
+
+
+def test_one_sided_heatmaps_render_single_row(tmp_path, monkeypatch):
+    """GT-only heatmaps render a single-row grid — NOT the same data
+    mirrored into both rows of the two-row truth/prediction renderer."""
+    from tpu_mednet.utils import plots as plots_mod
+
+    def two_row_forbidden(*a, **k):
+        raise AssertionError("two-row vis_logheatmaps used for one-sided data")
+
+    monkeypatch.setattr(plots_mod, "vis_logheatmaps", two_row_forbidden)
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data.h5"
+    with h5py.File(data, "w") as f:
+        _write_group(f, "images", "s0",
+                     rng.normal(size=(1, 12, 12, 12)).astype(np.float16))
+        hm = np.zeros((2, 12, 12, 12), np.uint8)
+        hm[0, 5, 5, 5] = 255
+        hm[1, 7, 7, 7] = 255
+        _write_group(f, "heatmaps", "s0", hm)
+    out1 = tmp_path / "one"
+    rc = visualize_main(["--data", str(data), "--heatmap_group", "heatmaps",
+                         "--out", str(out1)])
+    assert rc == 0
+    assert (out1 / "s0_heatmaps.png").stat().st_size > 0

@@ -16,7 +16,11 @@ the box::
 
 Each subject is a noisy volume with a bright sphere (class 1) and a dark
 box (class 2) at random positions; one Gaussian landmark heatmap sits at
-each structure's center (peak 255, reference heatmap convention).  Labels
+each structure's center (peak 255, reference heatmap convention).
+``--modalities 4`` renders the structures at per-modality contrasts (a
+BraTS-style multi-modal store, BASELINE config 4), ``--heatmaps N`` adds
+landmarks at structure poles/corners (up to 6, BASELINE config 5), and
+``--classes 2`` merges both structures into one foreground class.  Labels
 use the class-map-last-channel layout, heatmaps are a separate group —
 the `<file>/<group>/<key>` scheme of the reference
 (`/root/reference/midasmednet/dataset.py:210-280`).  Any writable store
@@ -45,6 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--test", type=int, default=2)
     parser.add_argument("--size", type=int, default=64,
                         help="cubic volume extent (>= 32)")
+    parser.add_argument("--modalities", type=int, default=1,
+                        help="image channels per subject (e.g. 4 for a "
+                             "BraTS-style multi-modal store; each modality "
+                             "gets its own structure contrasts)")
+    parser.add_argument("--heatmaps", type=int, default=2,
+                        choices=range(1, 7),
+                        help="landmark heatmap channels (1-6; landmarks sit "
+                             "at structure centers/poles/corners)")
+    parser.add_argument("--classes", type=int, default=3, choices=(2, 3),
+                        help="label classes incl. background; 2 merges both "
+                             "structures into one foreground class")
     parser.add_argument("--sigma", type=float, default=4.0,
                         help="landmark heatmap stddev in voxels")
     parser.add_argument("--spacing", type=float, default=1.0,
@@ -56,10 +71,21 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def make_subject(rng: np.random.Generator, size: int, sigma: float):
-    """One subject: bright sphere (class 1) + dark box (class 2) on noise,
-    a Gaussian heatmap at each structure's center."""
-    img = rng.normal(0.0, 0.1, size=(size, size, size)).astype(np.float32)
+# per-modality (sphere, box) intensity contrasts: modality 0 is the classic
+# bright-sphere/dark-box; further modalities vary magnitude and invert signs
+# (a cartoon of T1/T2/FLAIR-style contrast differences between MR sequences)
+_MODALITY_CONTRASTS = [(1.5, -1.5), (0.9, -2.0), (2.0, -0.8), (-1.2, 1.2),
+                       (1.0, -1.0), (0.7, 1.5)]
+
+
+def make_subject(rng: np.random.Generator, size: int, sigma: float,
+                 modalities: int = 1, n_heatmaps: int = 2,
+                 classes: int = 3):
+    """One subject: bright sphere (class 1) + dark box (class 2 — or also
+    class 1 when ``classes=2``) on noise; with ``modalities > 1`` each image
+    channel renders the same structures at different contrasts; the
+    ``n_heatmaps`` Gaussian landmarks sit at structure centers/poles/corners
+    (each peak inside its structure, the reference heatmap convention)."""
     lbl = np.zeros((size, size, size), dtype=np.uint8)
     margin = max(size // 5, 8)
 
@@ -69,7 +95,6 @@ def make_subject(rng: np.random.Generator, size: int, sigma: float):
     sphere = ((zz - c1[0]) ** 2 + (yy - c1[1]) ** 2
               + (xx - c1[2]) ** 2) <= r * r
     lbl[sphere] = 1
-    img[sphere] += 1.5
 
     # the box must not overwrite the sphere (each landmark's heatmap peak
     # sits inside its own structure); redraw on overlap — the sphere covers
@@ -83,21 +108,41 @@ def make_subject(rng: np.random.Generator, size: int, sigma: float):
             break
     else:
         raise RuntimeError("could not place a non-overlapping box")
-    lbl[box] = 2
-    img[box] -= 1.5
+    lbl[box] = 2 if classes >= 3 else 1
+    box_mask = np.zeros_like(lbl, dtype=bool)
+    box_mask[box] = True
 
-    heatmaps = np.zeros((2, size, size, size), dtype=np.uint8)
+    img = np.empty((modalities, size, size, size), dtype=np.float32)
+    for m in range(modalities):
+        s_c, b_c = _MODALITY_CONTRASTS[m % len(_MODALITY_CONTRASTS)]
+        chan = rng.normal(0.0, 0.1, size=(size, size, size)).astype(np.float32)
+        chan[sphere] += s_c
+        chan[box_mask] += b_c
+        img[m] = chan
+
+    # landmark anchors, cycled to n_heatmaps: structure centers first, then
+    # sphere z-poles and box corners — every anchor inside its structure
+    anchors = [
+        c1, c2,
+        c1 + np.array([max(r // 2, 1), 0, 0]),
+        c2 + np.array([max(h // 2, 1)] * 3),
+        c1 - np.array([max(r // 2, 1), 0, 0]),
+        c2 - np.array([max(h // 2, 1)] * 3),
+    ]
+    heatmaps = np.zeros((n_heatmaps, size, size, size), dtype=np.uint8)
     grid = np.stack(np.meshgrid(*[np.arange(size)] * 3, indexing="ij"))
-    for i, c in enumerate((c1, c2)):
+    for i in range(n_heatmaps):
+        c = anchors[i % len(anchors)]
         d2 = ((grid - np.asarray(c)[:, None, None, None]) ** 2).sum(axis=0)
         heatmaps[i] = np.round(
             255.0 * np.exp(-d2 / (2 * sigma**2))).astype(np.uint8)
-    return img[None], lbl[None], heatmaps
+    return img, lbl[None], heatmaps
 
 
 def write_dataset(out_dir: Path, fmt: str, n_train: int, n_val: int,
                   n_test: int, size: int, sigma: float, spacing: float,
-                  seed: int) -> Path:
+                  seed: int, modalities: int = 1, n_heatmaps: int = 2,
+                  classes: int = 3) -> Path:
     from tpu_mednet.data.stores import VolumeGroup
 
     rng = np.random.default_rng(seed)
@@ -108,7 +153,8 @@ def write_dataset(out_dir: Path, fmt: str, n_train: int, n_val: int,
     for i, split in enumerate(splits):
         key = f"s{i:03d}"
         keys[split].append(key)
-        img, lbl, hm = make_subject(rng, size, sigma)
+        img, lbl, hm = make_subject(rng, size, sigma, modalities=modalities,
+                                    n_heatmaps=n_heatmaps, classes=classes)
         for vg, arr, dtype in ((images, img, np.float16),
                                (labels, lbl, np.uint8),
                                (heatmaps, hm, np.uint8)):
@@ -135,9 +181,11 @@ def write_dataset(out_dir: Path, fmt: str, n_train: int, n_val: int,
 
 
 def write_configs(out_dir: Path, data_path: Path, size: int,
-                  sigma: float) -> None:
+                  sigma: float, modalities: int = 1, n_heatmaps: int = 2,
+                  classes: int = 3) -> None:
     patch = min(size, 32)
     d = str(out_dir)
+    reg_w = ", ".join(["0.02"] * n_heatmaps)
     (out_dir / "seg.yaml").write_text(f"""\
 # mednet-demo segmentation config (synthetic spheres-and-boxes dataset)
 data_path: {data_path}
@@ -150,13 +198,13 @@ patches_per_subject: 4
 max_epochs: 8
 batch_size: 2
 fmaps: 16
-in_channels: 1
-out_channels: 3
+in_channels: {modalities}
+out_channels: {classes}
 loss: DICE
 learning_rate: 0.001
 """)
     (out_dir / "landmarks.yaml").write_text(f"""\
-# mednet-demo landmark config (2 heatmaps + 3-class auxiliary head)
+# mednet-demo landmark config ({n_heatmaps} heatmaps + {classes}-class auxiliary head)
 data_path: {data_path}
 train_set: {d}/train.txt
 val_set: {d}/val.txt
@@ -168,17 +216,18 @@ patches_per_subject: 4
 max_epochs: 8
 batch_size: 2
 fmaps: 16
-in_channels: 1
-out_channels: 5          # 2 heatmaps + 3 classes
+in_channels: {modalities}
+out_channels: {n_heatmaps + classes}          # {n_heatmaps} heatmaps + {classes} classes
 loss_class: DICE
 loss_regression: L2
-loss_regression_weight: [0.02, 0.02]
+loss_regression_weight: [{reg_w}]
 learning_rate: 0.001
 """)
     overlap = max(patch // 8, 2)
+    sigma_list = "[" + ", ".join([str(sigma)] * n_heatmaps) + "]"
     for short, model, sigma_line in (
             ("seg", "SegmentationNet", "null"),
-            ("ldmks", "LandmarkNet", f"[{sigma}, {sigma}]")):
+            ("ldmks", "LandmarkNet", sigma_list)):
         (out_dir / f"predict_{short}.yaml").write_text(f"""\
 # mednet-demo prediction config ({model})
 base:
@@ -199,6 +248,31 @@ prediction:
 """)
 
 
+def _reset_stale_outputs(out_dir: Path) -> None:
+    """Re-running into an existing --out regenerates the data store; model
+    checkpoints and predictions from a previous run would then be scored
+    against DIFFERENT data (stale-subject confusion) — remove them too and
+    say so."""
+    import shutil
+
+    stale = [p for p in (out_dir / "model_seg", out_dir / "model_ldmks",
+                         out_dir / "figs")
+             if p.is_dir()]
+    stale += sorted(out_dir.glob("pred_*.h5"))
+    if not stale:
+        return
+    for p in stale:
+        if p.is_dir():
+            shutil.rmtree(p)
+        else:
+            p.unlink()
+    logger.warning(
+        "removed stale outputs from a previous demo run (%s): the data "
+        "store is regenerated, so old checkpoints/predictions no longer "
+        "match it", ", ".join(p.name for p in stale),
+    )
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -206,10 +280,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         raise SystemExit("--size must be >= 32 (structures need room)")
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    _reset_stale_outputs(out_dir)
     data_path = write_dataset(out_dir, args.format, args.train, args.val,
                               args.test, args.size, args.sigma, args.spacing,
-                              args.seed)
-    write_configs(out_dir, data_path, args.size, args.sigma)
+                              args.seed, modalities=args.modalities,
+                              n_heatmaps=args.heatmaps, classes=args.classes)
+    write_configs(out_dir, data_path, args.size, args.sigma,
+                  modalities=args.modalities, n_heatmaps=args.heatmaps,
+                  classes=args.classes)
     n = args.train + args.val + args.test
     print(f"wrote {n} subjects ({args.size}^3) to {data_path}")
     print("next steps:")

@@ -68,6 +68,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     chunk_size = pred.get("chunk_size", 16)
     model_name = pred.get("model")  # default: auto-detect from hparams
     stitch = pred.get("stitch", "crop")  # 'crop' (reference) | 'gaussian' | 'device'
+    # HBM guard for the on-device stitch paths: 'warn' (default) estimates
+    # each volume's footprint and falls back to host stitching for volumes
+    # that would OOM the chip; 'error' fails fast with the numbers; 'off'
+    # forces the attempt (utils/memory.py)
+    hbm_guard = pred.get("hbm_guard", "warn")
     n_devices = pred.get("gpus", 1)  # data-parallel inference mesh size
     # EMA checkpoints predict with the averaged weights unless
     # prediction.use_ema=false asks for the raw final params
@@ -192,6 +197,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
                 pad_mode="constant", devices=placement, tta_flips=tta_flips,
+                hbm_guard=hbm_guard,
             )
         elif stitch == "gaussian":
             # on-device accumulate (equivalence-tested vs the host
@@ -201,6 +207,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 patch_size=patch_size, patch_overlap=patch_overlap,
                 batch_size=batch_size, image_group=image_group,
                 pad_mode="constant", devices=placement, tta_flips=tta_flips,
+                hbm_guard=hbm_guard,
             )
         else:
             results = predict_volumes(

@@ -171,28 +171,34 @@ def render_subject(key: str, out_dir: Path, image: Optional[np.ndarray],
             "truth has %d — rendering the prediction only", key,
             pred_hm.shape[0], gt_heatmaps.shape[0])
         gt_heatmaps = None
-    if pred_hm is not None or gt_heatmaps is not None:
-        # vis_logheatmaps needs both rows; mirror the available one so the
-        # figure stays honest via its suptitle
-        top = gt_heatmaps if gt_heatmaps is not None else pred_hm
-        bottom = pred_hm if pred_hm is not None else gt_heatmaps
+    if pred_hm is not None and gt_heatmaps is not None:
         if bg is not None:
             fig, _ = plots.vis_logheatmaps(
-                _normalized(bg), bottom, top, mip_axis=mip_axis,
+                _normalized(bg), pred_hm, gt_heatmaps, mip_axis=mip_axis,
                 projection_type=projection)
         else:
             fig, ax = plt.subplots()
-            fg = np.concatenate([np.max(top, axis=mip_axis + 1),
-                                 np.max(bottom, axis=mip_axis + 1)])
-            ax.imshow(plots.make_grid(fg, nrow=top.shape[0]),
+            fg = np.concatenate([np.max(gt_heatmaps, axis=mip_axis + 1),
+                                 np.max(pred_hm, axis=mip_axis + 1)])
+            ax.imshow(plots.make_grid(fg, nrow=gt_heatmaps.shape[0]),
                       cmap="inferno", vmin=0.0, vmax=255.0)
             ax.axis("off")
-        label_top = "truth" if gt_heatmaps is not None else "prediction"
-        label_bot = "prediction" if pred_hm is not None else "truth"
         # vis_logheatmaps tight_layouts the axes over the full canvas; lift
         # the title above it (bbox_inches="tight" grows the saved figure)
-        fig.suptitle(f"{key} — heatmaps: {label_top} (top) / "
-                     f"{label_bot} (bottom)", y=1.02)
+        fig.suptitle(f"{key} — heatmaps: truth (top) / prediction (bottom)",
+                     y=1.02)
+        save(fig, "heatmaps")
+    elif pred_hm is not None or gt_heatmaps is not None:
+        # one-sided: a single-row grid (the two-row renderer would mirror
+        # the same data into both rows — double render cost, confusing)
+        hm = pred_hm if pred_hm is not None else gt_heatmaps
+        side = "prediction" if pred_hm is not None else "truth"
+        fig, ax = plt.subplots()
+        ax.imshow(plots.make_grid(np.max(hm, axis=mip_axis + 1),
+                                  nrow=hm.shape[0]),
+                  cmap="inferno", vmin=0.0, vmax=255.0)
+        ax.axis("off")
+        fig.suptitle(f"{key} — heatmaps: {side}", y=1.02)
         save(fig, "heatmaps")
 
     return written
@@ -240,14 +246,28 @@ def visualize(data=None, pred=None, out="figs", subjects=None,
                 pass
 
         written = []
+        # per-group hit counters: _read_volume swallows KeyError per
+        # subject, so a mistyped group name would otherwise silently drop
+        # its figures for EVERY subject with no error
+        hits = {}
+
+        def tracked(reader, key, group, flag):
+            hits.setdefault(flag, [group, 0])
+            vol = _read_volume(reader, key, group)
+            if vol is not None:
+                hits[flag][1] += 1
+            return vol
+
         for key in keys:
-            image = (_read_volume(data_reader, key, image_group)
+            image = (tracked(data_reader, key, image_group, "--image_group")
                      if data_reader is not None else None)
-            gt_label = (_read_volume(data_reader, key, label_group)
+            gt_label = (tracked(data_reader, key, label_group,
+                                "--label_group")
                         if data_reader is not None and label_group else None)
-            gt_hm = (_read_volume(data_reader, key, heatmap_group)
+            gt_hm = (tracked(data_reader, key, heatmap_group,
+                             "--heatmap_group")
                      if data_reader is not None and heatmap_group else None)
-            pvol = (_read_volume(pred_reader, key, pred_group)
+            pvol = (tracked(pred_reader, key, pred_group, "--pred_group")
                     if pred_reader is not None else None)
             if image is None and gt_label is None and pvol is None:
                 logger.warning("subject %s: nothing to render, skipped", key)
@@ -265,6 +285,13 @@ def visualize(data=None, pred=None, out="figs", subjects=None,
                 alpha=alpha, dpi=dpi)
             logger.info("subject %s: %d figure(s)", key, len(paths))
             written.extend(paths)
+        for flag, (group, n) in hits.items():
+            if n == 0 and written and not (flag == "--heatmap_group"
+                                           and hm_auto):
+                logger.warning(
+                    "group %r matched no subject in any store — figures "
+                    "from it were skipped for all %d subject(s); check %s",
+                    group, len(keys), flag)
         return written
     finally:
         if data_reader is not None:

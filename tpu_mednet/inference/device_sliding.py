@@ -146,6 +146,8 @@ def predict_volumes_on_device(
     out_dtype=np.uint8,
     devices=None,
     tta_flips=(),
+    hbm_guard: str = "error",
+    hbm_budget: Optional[int] = None,
 ) -> VolumeGroup:
     """Drop-in alternative to ``predict_volumes`` with on-device stitching.
 
@@ -163,16 +165,39 @@ def predict_volumes_on_device(
     r = reader if reader is not None else open_reader(data_path, reader_cls)
     shapes = r.get_data_shape(subject_keys, image_group)
     affines = r.get_data_attribute(subject_keys, image_group, "affine")
+    out_c = getattr(task, "num_heatmaps", 0) + 1
+
+    # HBM guard: an oversized volume on this path used to surface as an
+    # opaque remote-compile OOM; estimate the footprint up front and fail
+    # with the numbers ('error') or spill the volume to host stitching
+    # ('warn') — see utils/memory.py
+    from tpu_mednet.models.unet import create_feature_maps
+    from tpu_mednet.utils.memory import check_stitch_budget, tree_bytes
+
+    cfg = task.model.config
+    fmaps = (tuple(cfg.f_maps) if isinstance(cfg.f_maps, (list, tuple))
+             else create_feature_maps(cfg.f_maps, cfg.num_levels))
+    params_b = tree_bytes(variables)
+    n_tta = 2 ** len(tta_flips) if tta_flips else 1
+    fit_keys, spill_keys = [], []
+    for key in subject_keys:
+        ok = check_stitch_budget(
+            key, shapes[key][1:], patch_size, patch_overlap, batch_size,
+            cfg.in_channels, out_c, fmaps, stitch="device",
+            params_bytes=params_b, n_tta=n_tta, budget_bytes=hbm_budget,
+            guard=hbm_guard,
+        )
+        (fit_keys if ok else spill_keys).append(key)
+
     # f16 preload matches the reference/host pipeline (dataset.py:441)
-    volumes = list(r.read(subject_keys, image_group, dtype=np.float16))
-    if owns:
+    volumes = list(r.read(fit_keys, image_group, dtype=np.float16))
+    if owns and not spill_keys:
         r.close()
 
     predictor = _cached_predictor(task, tuple(patch_size), tuple(patch_overlap),
                                   batch_size, pad_mode, tta_flips=tta_flips)
     ov = np.asarray(patch_overlap, dtype=np.int64)
     results = VolumeGroup()
-    out_c = getattr(task, "num_heatmaps", 0) + 1
     devs, vars_per_dev, depth = round_robin_placement(variables, devices)
 
     def dispatch(idx, key, vol):
@@ -210,7 +235,23 @@ def predict_volumes_on_device(
         ds.attrs["affine"] = np.asarray(affines[key]).tolist()
 
     run_pipelined(
-        zip(range(len(volumes)), subject_keys, volumes), dispatch, finalize,
+        zip(range(len(volumes)), fit_keys, volumes), dispatch, finalize,
         depth=depth,
     )
+    if spill_keys:
+        from tpu_mednet.inference.sliding_window import predict_volumes
+
+        host = predict_volumes(
+            task, variables, data_path, spill_keys,
+            patch_size=patch_size, patch_overlap=patch_overlap,
+            batch_size=batch_size, out_channels=out_c,
+            image_group=image_group, reader=r,
+            pad_mode=pad_mode, out_dtype=out_dtype, tta_flips=tta_flips,
+        )
+        if owns:
+            r.close()
+        for key, ds in host.items():
+            dst = results.require_dataset(key, ds.array.shape, out_dtype)
+            dst[:] = ds.array
+            dst.attrs.update(ds.attrs)
     return results

@@ -161,6 +161,8 @@ def predict_volumes_weighted_on_device(
     out_dtype=np.uint8,
     devices=None,
     tta_flips=(),
+    hbm_guard: str = "error",
+    hbm_budget=None,
 ) -> VolumeGroup:
     """On-device drop-in for ``predict_volumes_weighted``.
 
@@ -168,17 +170,39 @@ def predict_volumes_weighted_on_device(
     the same jit as the forward (HBM buffers), one round-trip per volume.
     With ``devices``, volumes are dealt round-robin across the devices
     (data-parallel inference; see ``device_sliding.predict_volumes_on_device``).
+    ``hbm_guard``: fail fast ('error') or fall back to the HOST weighted
+    accumulation ('warn') for volumes whose fp32 accumulators would
+    overflow HBM — see ``utils/memory.check_stitch_budget``.
     """
     from tpu_mednet.data.readers import DataReader  # noqa: F401
     from tpu_mednet.inference.device_sliding import _grid_corners
+    from tpu_mednet.models.unet import create_feature_maps
+    from tpu_mednet.utils.memory import check_stitch_budget, tree_bytes
 
     num_heatmaps = getattr(task, "num_heatmaps", 0)
     out_c = num_heatmaps + 1
     owns = reader is None
     r = reader if reader is not None else open_reader(data_path, reader_cls)
+    shapes = r.get_data_shape(subject_keys, image_group)
     affines = r.get_data_attribute(subject_keys, image_group, "affine")
-    volumes = list(r.read(subject_keys, image_group, dtype=np.float16))
-    if owns:
+
+    cfg = task.model.config
+    fmaps = (tuple(cfg.f_maps) if isinstance(cfg.f_maps, (list, tuple))
+             else create_feature_maps(cfg.f_maps, cfg.num_levels))
+    params_b = tree_bytes(variables)
+    n_tta = 2 ** len(tta_flips) if tta_flips else 1
+    fit_keys, spill_keys = [], []
+    for key in subject_keys:
+        ok = check_stitch_budget(
+            key, shapes[key][1:], patch_size, patch_overlap, batch_size,
+            cfg.in_channels, out_c, fmaps, stitch="gaussian",
+            params_bytes=params_b, n_tta=n_tta, budget_bytes=hbm_budget,
+            guard=hbm_guard,
+        )
+        (fit_keys if ok else spill_keys).append(key)
+
+    volumes = list(r.read(fit_keys, image_group, dtype=np.float16))
+    if owns and not spill_keys:
         r.close()
 
     predictor = per_task_cache(
@@ -234,9 +258,23 @@ def predict_volumes_weighted_on_device(
         ds.attrs["affine"] = np.asarray(affines[key_]).tolist()
 
     run_pipelined(
-        zip(range(len(volumes)), subject_keys, volumes), dispatch, finalize,
+        zip(range(len(volumes)), fit_keys, volumes), dispatch, finalize,
         depth=depth,
     )
+    if spill_keys:
+        host = predict_volumes_weighted(
+            task, variables, data_path, spill_keys,
+            patch_size=patch_size, patch_overlap=patch_overlap,
+            batch_size=batch_size, image_group=image_group, reader=r,
+            pad_mode=pad_mode, sigma_scale=sigma_scale, out_dtype=out_dtype,
+            tta_flips=tta_flips,
+        )
+        if owns:
+            r.close()
+        for key, ds in host.items():
+            dst = results.require_dataset(key, ds.array.shape, out_dtype)
+            dst[:] = ds.array
+            dst.attrs.update(ds.attrs)
     return results
 
 

@@ -46,9 +46,22 @@ class MetricsLogger:
             sink.log_scalars(step, scalars)
 
     def log_figure(self, tag: str, figure, step: int) -> None:
-        """Log a matplotlib figure (MIP visualizations)."""
+        """Log a matplotlib figure (MIP visualizations).
+
+        The reference always renders ``log_samples`` MIPs into a live sink
+        (`/root/reference/midasmednet/segmentation.py:100-101`).  When
+        TensorBoard is unavailable the figure falls back to a PNG under
+        ``<log_dir>/figures/<tag>_<step>.png`` so training-time
+        observability never silently drops frames.
+        """
         if self._tb is not None:
             self._tb.add_figure(tag, figure, step)
+        else:
+            fig_dir = self.log_dir / "figures"
+            fig_dir.mkdir(parents=True, exist_ok=True)
+            safe_tag = tag.replace("/", "_")
+            figure.savefig(fig_dir / f"{safe_tag}_{step:06d}.png",
+                           bbox_inches="tight")
         for sink in self.extra_sinks:
             sink.log_figure(tag, figure, step)
 
