@@ -348,3 +348,13 @@ def test_device_prefetch_early_abandonment_joins_producer():
         time.sleep(0.1)
         deadline -= 1
     assert threading.active_count() <= n_before
+
+
+def test_bulk_load_works_without_tqdm(mem_reader, monkeypatch):
+    """The tqdm progress wrapper (reference dataset.py:158,492) is
+    optional: loads must work identically when tqdm is absent."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "tqdm", None)  # force ImportError
+    data = mem_reader.read_data_to_memory(["subj0", "subj1"], "images")
+    assert len(data) == 2

@@ -171,3 +171,30 @@ def test_held_batches_never_overwritten():
     for (d, l), (sd, sl) in zip(held, snaps):
         np.testing.assert_array_equal(d, sd)
         np.testing.assert_array_equal(l, sl)
+
+
+def test_early_abandon_terminates_promptly():
+    """Abandoning an epoch early (break out of ``batches`` — what
+    ``limit_train_batches`` does) must terminate the prefetch worker even
+    when it enters ``q.put`` AFTER the consumer's shutdown drain.  The
+    one-shot drain-then-join shutdown deadlocked here (producer in put,
+    consumer in join) — observed hanging the epoch-limited CLI drives.
+    Many iterations to give the race a chance; a watchdog converts any
+    regression back into a failure instead of a hung suite."""
+    import threading
+
+    done = threading.Event()
+
+    def run():
+        for i in range(30):
+            pipe = NativeBatchPipeline(build_sampler(seed=i))
+            if not pipe.usable():  # no .so in this environment
+                break
+            gen = pipe.batches(2, shuffle=True, drop_last=True)
+            next(gen)      # consume one batch...
+            gen.close()    # ...and abandon the epoch
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert done.wait(timeout=120), "early-abandon shutdown hung (deadlock)"

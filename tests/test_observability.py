@@ -9,8 +9,9 @@ fake module (the same pattern test_utils.py uses for SimpleITK) and drive
 the REAL code paths: ``maybe_create_neptune_run`` -> ``NeptuneSink`` ->
 ``MetricsLogger.extra_sinks`` during a real 1-epoch Trainer fit.
 
-Also covers the PNG fallback: when TensorBoard is unavailable (it is not
-installed here), ``MetricsLogger.log_figure`` must write
+Also covers the PNG fallback: when TensorBoard is unavailable (simulated
+by nulling the module handle — tensorboardX IS importable in this image),
+``MetricsLogger.log_figure`` must write
 ``<log_dir>/figures/<tag>_<step>.png`` instead of dropping the figure.
 """
 
@@ -172,10 +173,14 @@ def test_sink_scalars_and_figures_and_close(fake_neptune, tmp_path):
 # -- the real thing: a 1-epoch Trainer fit ---------------------------------
 
 
-def test_neptune_and_png_fallback_during_fit(fake_neptune, tmp_path):
+def test_neptune_and_png_fallback_during_fit(fake_neptune, tmp_path,
+                                             monkeypatch):
     """1-epoch fit with the MIP sample visualizer: the Neptune sink receives
-    the reference's scalar names AND the rendered figures; with tensorboardX
-    absent from this image, the same figures land as PNGs on disk."""
+    the reference's scalar names AND the rendered figures; with TensorBoard
+    unavailable (simulated), the same figures land as PNGs on disk."""
+    from tpu_mednet.utils import metrics_logging
+
+    monkeypatch.setattr(metrics_logging, "SummaryWriter", None)
     sink = maybe_create_neptune_run(
         "ws/proj", "fit", hparams={"lr": 1e-3}, source_files=[__file__])
     log_dir = tmp_path / "logs"
@@ -193,8 +198,8 @@ def test_neptune_and_png_fallback_during_fit(fake_neptune, tmp_path):
     assert any(k.startswith("val_dice") for k in run.appends)
     # MIP figures reached the sink (segmentation.py:100-101 log_samples)
     assert "images" in run.appends and "labels" in run.appends
-    # PNG fallback: tensorboardX is not installed in this image, so the
-    # figures must exist on disk too
+    # PNG fallback: with no TensorBoard writer the figures must exist on
+    # disk too
     pngs = sorted((log_dir / "figures").glob("*.png"))
     names = {p.name.rsplit("_", 1)[0] for p in pngs}
     assert {"images", "labels"} <= names
@@ -202,14 +207,17 @@ def test_neptune_and_png_fallback_during_fit(fake_neptune, tmp_path):
     assert run.stopped  # Trainer closed the sink at fit end
 
 
-def test_png_fallback_without_tensorboard(tmp_path):
+def test_png_fallback_without_tensorboard(tmp_path, monkeypatch):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from tpu_mednet.utils import metrics_logging
+
+    monkeypatch.setattr(metrics_logging, "SummaryWriter", None)
     metrics = MetricsLogger(tmp_path / "logs")
-    assert metrics._tb is None  # tensorboardX absent in this image
+    assert metrics._tb is None
     fig = plt.figure()
     metrics.log_figure("val/images", fig, 7)
     plt.close(fig)

@@ -220,19 +220,23 @@ class NativeBatchPipeline:
                 yield payload
         finally:
             # consumer may abandon the epoch early (break / GeneratorExit):
-            # unblock a worker stuck in q.put, then let it see `stop`.
-            # Join WITHOUT timeout: the caller reuses the sampler rng for
-            # the next epoch's shuffle right after this returns, so the
-            # worker must be fully finished (it checks `stop` before every
-            # draw, and the GIL-released native call is short — bounded
-            # wait in practice)
+            # the worker may be blocked in q.put, OR may pass its `stop`
+            # check and enter q.put AFTER a one-shot drain (the race that
+            # deadlocked the epoch-limited CLI drives: producer in put,
+            # consumer in join, forever).  Drain and join must therefore
+            # INTERLEAVE until the thread exits — each drain unblocks any
+            # late put, and the worker then sees `stop` before the next
+            # draw.  Full join (not abandon): the caller reuses the
+            # sampler rng for the next epoch's shuffle right after this
+            # returns, so the worker must be completely finished.
             stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
-            t.join()
+            while t.is_alive():
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.05)
 
 
 def make_batch_source(sampler: PatchSampler,

@@ -54,7 +54,15 @@ class DataReader:
         logger.info("loading group [%s]...", group)
         t = time.perf_counter()
         tracemalloc.start()
-        data = deque(self.read(subject_keys, group, dtype, preload))
+        it = self.read(subject_keys, group, dtype, preload)
+        try:  # tqdm progress on bulk loads (reference dataset.py:158)
+            from tqdm import tqdm
+
+            it = tqdm(it, total=len(subject_keys), desc=f"load {group}",
+                      disable=None)  # disable=None: off for non-TTY runs
+        except ImportError:  # pragma: no cover
+            pass
+        data = deque(it)
         current, peak = tracemalloc.get_traced_memory()
         tracemalloc.stop()
         logger.debug(
