@@ -91,6 +91,26 @@ def test_gaussian_accumulators_cost_more_than_device_result():
     assert gau_b["accumulator_f32"] > 3 * dev_b["result_u8"]
 
 
+def test_gaussian_accumulator_counts_model_channels():
+    """ADVICE r4 (medium): the jit's fp32 accumulator is model.out_channels
+    wide — wider than the uint8 result's num_heatmaps+1 for multi-class
+    tasks.  Near the budget boundary the guard must use the model width."""
+    kw = dict(img_size=(200, 200, 200), patch_size=(96, 96, 96),
+              patch_overlap=(16, 16, 16), batch_size=8, in_channels=1,
+              out_channels=1, feature_maps=[32, 64, 128, 256, 512])
+    lo, lo_b = device_stitch_bytes(stitch="gaussian", **kw)
+    hi, hi_b = device_stitch_bytes(stitch="gaussian", acc_channels=5, **kw)
+    assert hi_b["accumulator_f32"] == 5 * lo_b["accumulator_f32"]
+    # the uint8 result keeps the result width, not the accumulator width
+    assert hi_b["result_u8"] == lo_b["result_u8"]
+    budget = (lo + hi) // 2
+    assert check_stitch_budget("v", stitch="gaussian", budget_bytes=budget,
+                               **kw)
+    with pytest.raises(HBMBudgetError):
+        check_stitch_budget("v", stitch="gaussian", budget_bytes=budget,
+                            acc_channels=5, **kw)
+
+
 def test_stitch_bytes_grow_with_volume():
     kw = dict(patch_size=(32, 32, 32), patch_overlap=(4, 4, 4), batch_size=2,
               in_channels=1, out_channels=2, feature_maps=[8, 16])
@@ -218,6 +238,55 @@ def test_weighted_path_guard(tmp_path, caplog):
                                     reader=reader, **PRED_KW)
     for key in ("a", "b"):
         np.testing.assert_array_equal(guarded[key].array, host[key].array)
+
+
+def test_weighted_guard_wired_to_model_channels():
+    """E2E wiring of the ADVICE r4 medium fix: the weighted path must pass
+    the MODEL's out_channels as the accumulator width.  Budget is pinned
+    between the (wrong) result-width estimate and the (right) model-width
+    estimate — the old code approved this volume, the fix rejects it."""
+    reader, task, variables = tiny_setup()
+    kw = dict(img_size=(24, 24, 24), patch_size=(16, 16, 16),
+              patch_overlap=(2, 2, 2), batch_size=2, in_channels=1,
+              out_channels=1, feature_maps=[4, 8],
+              params_bytes=tree_bytes(variables))
+    lo, _ = device_stitch_bytes(stitch="gaussian", **kw)
+    hi, _ = device_stitch_bytes(stitch="gaussian", acc_channels=2, **kw)
+    assert hi > lo
+    with pytest.raises(HBMBudgetError):
+        predict_volumes_weighted_on_device(
+            task, variables, None, ["a"], reader=reader,
+            hbm_budget=(lo + hi) // 2, **PRED_KW,
+        )
+
+
+class _ClosableMemoryReader(MemoryReader):
+    def __init__(self, store):
+        super().__init__(store)
+        self.closed = False
+
+    def close(self):
+        self.closed = True
+
+
+def test_guard_error_closes_owned_reader():
+    """ADVICE r4 (low): an HBMBudgetError must not leak a reader the
+    pipeline opened itself (owns=True path via reader_cls factory)."""
+    rng = np.random.default_rng(0)
+    store = {"images": {"a": rng.normal(
+        0, 0.1, size=(1, 24, 24, 24)).astype(np.float32)}}
+    _, task, variables = tiny_setup()
+    for fn in (predict_volumes_on_device, predict_volumes_weighted_on_device):
+        holder = {}
+
+        def factory(path):
+            holder["r"] = _ClosableMemoryReader(store)
+            return holder["r"]
+
+        with pytest.raises(HBMBudgetError):
+            fn(task, variables, "unused-path", ["a"], reader_cls=factory,
+               hbm_budget=1 << 16, **PRED_KW)
+        assert holder["r"].closed, fn.__name__
 
 
 def test_params_bytes_counted():

@@ -208,3 +208,27 @@ def test_one_sided_heatmaps_render_single_row(tmp_path, monkeypatch):
                          "--out", str(out1)])
     assert rc == 0
     assert (out1 / "s0_heatmaps.png").stat().st_size > 0
+
+
+def test_one_sided_heatmaps_keep_background_overlay(tmp_path):
+    """ADVICE r4 (low): one-sided heatmaps with an available background
+    image render OVER the projected anatomy (like the two-row renderer)
+    rather than dropping the context — the figure must differ from the
+    background-free render of the same heatmaps."""
+    from tpu_mednet.cli.visualize import render_subject
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(1, 12, 12, 12)).astype(np.float32)
+    hm = np.zeros((2, 12, 12, 12), np.uint8)
+    hm[0, 5, 5, 5] = 255
+    hm[1, 7, 7, 7] = 255
+    with_bg = tmp_path / "bg"
+    no_bg = tmp_path / "nobg"
+    with_bg.mkdir()
+    no_bg.mkdir()
+    w1 = render_subject("s0", with_bg, img, None, hm, None)
+    w2 = render_subject("s0", no_bg, None, None, hm, None)
+    assert (with_bg / "s0_heatmaps.png") in w1
+    assert (no_bg / "s0_heatmaps.png") in w2
+    assert (with_bg / "s0_heatmaps.png").read_bytes() \
+        != (no_bg / "s0_heatmaps.png").read_bytes()

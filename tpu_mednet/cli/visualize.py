@@ -190,13 +190,24 @@ def render_subject(key: str, out_dir: Path, image: Optional[np.ndarray],
         save(fig, "heatmaps")
     elif pred_hm is not None or gt_heatmaps is not None:
         # one-sided: a single-row grid (the two-row renderer would mirror
-        # the same data into both rows — double render cost, confusing)
-        hm = pred_hm if pred_hm is not None else gt_heatmaps
+        # the same data into both rows — double render cost, confusing);
+        # keep the anatomical context when a background image exists by
+        # rendering the row over the bone-cmap projected input, like
+        # vis_logheatmaps does for the two-row case
+        hm = np.asarray(pred_hm if pred_hm is not None else gt_heatmaps,
+                        np.float32)
         side = "prediction" if pred_hm is not None else "truth"
         fig, ax = plt.subplots()
-        ax.imshow(plots.make_grid(np.max(hm, axis=mip_axis + 1),
-                                  nrow=hm.shape[0]),
-                  cmap="inferno", vmin=0.0, vmax=255.0)
+        fg = plots.make_grid(np.max(hm, axis=mip_axis + 1), nrow=hm.shape[0])
+        if bg is not None:
+            mip = _normalized(bg).mean(axis=mip_axis) if projection == "mean" \
+                else _normalized(bg).max(axis=mip_axis)
+            grid_bg = plots.make_grid(np.stack(hm.shape[0] * [mip]),
+                                      nrow=hm.shape[0])
+            ax.imshow(grid_bg, cmap="bone", vmin=0.0, vmax=1.0)
+            ax.imshow(fg, cmap="inferno", vmin=0.0, vmax=255.0, alpha=0.6)
+        else:
+            ax.imshow(fg, cmap="inferno", vmin=0.0, vmax=255.0)
         ax.axis("off")
         fig.suptitle(f"{key} — heatmaps: {side}", y=1.02)
         save(fig, "heatmaps")

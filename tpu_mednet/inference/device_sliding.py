@@ -180,17 +180,22 @@ def predict_volumes_on_device(
     params_b = tree_bytes(variables)
     n_tta = 2 ** len(tta_flips) if tta_flips else 1
     fit_keys, spill_keys = [], []
-    for key in subject_keys:
-        ok = check_stitch_budget(
-            key, shapes[key][1:], patch_size, patch_overlap, batch_size,
-            cfg.in_channels, out_c, fmaps, stitch="device",
-            params_bytes=params_b, n_tta=n_tta, budget_bytes=hbm_budget,
-            guard=hbm_guard,
-        )
-        (fit_keys if ok else spill_keys).append(key)
+    try:
+        for key in subject_keys:
+            ok = check_stitch_budget(
+                key, shapes[key][1:], patch_size, patch_overlap, batch_size,
+                cfg.in_channels, out_c, fmaps, stitch="device",
+                params_bytes=params_b, n_tta=n_tta, budget_bytes=hbm_budget,
+                guard=hbm_guard,
+            )
+            (fit_keys if ok else spill_keys).append(key)
 
-    # f16 preload matches the reference/host pipeline (dataset.py:441)
-    volumes = list(r.read(fit_keys, image_group, dtype=np.float16))
+        # f16 preload matches the reference/host pipeline (dataset.py:441)
+        volumes = list(r.read(fit_keys, image_group, dtype=np.float16))
+    except BaseException:
+        if owns:
+            r.close()
+        raise
     if owns and not spill_keys:
         r.close()
 

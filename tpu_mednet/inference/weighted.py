@@ -192,16 +192,24 @@ def predict_volumes_weighted_on_device(
     params_b = tree_bytes(variables)
     n_tta = 2 ** len(tta_flips) if tta_flips else 1
     fit_keys, spill_keys = [], []
-    for key in subject_keys:
-        ok = check_stitch_budget(
-            key, shapes[key][1:], patch_size, patch_overlap, batch_size,
-            cfg.in_channels, out_c, fmaps, stitch="gaussian",
-            params_bytes=params_b, n_tta=n_tta, budget_bytes=hbm_budget,
-            guard=hbm_guard,
-        )
-        (fit_keys if ok else spill_keys).append(key)
+    try:
+        for key in subject_keys:
+            # acc_channels: the jit's fp32 accumulator is allocated with the
+            # MODEL's out_channels (n_act, make_weighted_device_predictor) —
+            # wider than the uint8 result's out_c for multi-class tasks
+            ok = check_stitch_budget(
+                key, shapes[key][1:], patch_size, patch_overlap, batch_size,
+                cfg.in_channels, out_c, fmaps, stitch="gaussian",
+                params_bytes=params_b, n_tta=n_tta, budget_bytes=hbm_budget,
+                guard=hbm_guard, acc_channels=cfg.out_channels,
+            )
+            (fit_keys if ok else spill_keys).append(key)
 
-    volumes = list(r.read(fit_keys, image_group, dtype=np.float16))
+        volumes = list(r.read(fit_keys, image_group, dtype=np.float16))
+    except BaseException:
+        if owns:
+            r.close()
+        raise
     if owns and not spill_keys:
         r.close()
 

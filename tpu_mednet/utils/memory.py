@@ -186,6 +186,7 @@ def device_stitch_bytes(
     dtype_bytes: int = 2,
     params_bytes: int = 0,
     n_tta: int = 1,
+    acc_channels: Optional[int] = None,
 ) -> Tuple[int, Dict[str, int]]:
     """Estimated HBM footprint of one volume on an on-device stitch path.
 
@@ -194,9 +195,14 @@ def device_stitch_bytes(
     - ``stitch='device'`` (`inference/device_sliding.py`): f16 input volume
       + f16 padded copy + uint8 result over the padded domain + crop copy.
     - ``stitch='gaussian'`` (`inference/weighted.py`): fp32 activation
-      accumulator (out_channels wide) + fp32 weight accumulator instead of
-      the uint8 result.
+      accumulator + fp32 weight accumulator instead of the uint8 result.
+      The accumulator is ``acc_channels`` wide — the MODEL's out_channels
+      (the jit accumulates raw activations before argmax), which for
+      multi-class tasks exceeds the ``out_channels`` of the final uint8
+      result (num_heatmaps + 1 class-map channel).
     """
+    if acc_channels is None:
+        acc_channels = out_channels
     img_vox = float(np.prod(np.asarray(img_size, dtype=np.float64)))
     padded_vox = float(np.prod(
         _padded_extent(img_size, patch_size, patch_overlap).astype(np.float64)
@@ -207,7 +213,7 @@ def device_stitch_bytes(
         "params": int(params_bytes),
     }
     if stitch == "gaussian":
-        breakdown["accumulator_f32"] = int(padded_vox * out_channels * 4)
+        breakdown["accumulator_f32"] = int(padded_vox * acc_channels * 4)
         breakdown["weight_accumulator_f32"] = int(padded_vox * 4)
         breakdown["result_u8"] = int(img_vox * out_channels)
     else:
@@ -265,6 +271,7 @@ def check_stitch_budget(
     n_tta: int = 1,
     budget_bytes: Optional[int] = None,
     guard: str = "error",
+    acc_channels: Optional[int] = None,
 ) -> bool:
     """Fail fast (or warn) when a volume won't fit the on-device stitch.
 
@@ -280,7 +287,7 @@ def check_stitch_budget(
     total, breakdown = device_stitch_bytes(
         img_size, patch_size, patch_overlap, batch_size, in_channels,
         out_channels, feature_maps, stitch=stitch, params_bytes=params_bytes,
-        n_tta=n_tta,
+        n_tta=n_tta, acc_channels=acc_channels,
     )
     if total <= budget:
         return True
