@@ -149,15 +149,32 @@ def main():
         if step_flops else None
     )
 
+    # same-session tunnel context: lets a future throughput swing be
+    # attributed to link day-variance vs a code regression from the
+    # artifact alone (the train bench itself is device-resident, but the
+    # record travels next to the transfer-bound inference numbers)
+    try:
+        from tpu_mednet.utils.tunnel import probe_tunnel
+
+        tunnel = probe_tunnel()
+    except Exception as e:  # pragma: no cover - probe must never kill bench
+        tunnel = {"error": str(e)[:120]}
+
     metric = "train_patches_per_sec_per_chip_96cubed"
     if C_IN != 1:
         metric += f"_in{C_IN}"
+    if BATCH != 32:
+        # keep variant rows distinguishable from the standing batch-32
+        # config in BENCH logs (vs_baseline stays batch-32-calibrated)
+        metric += f"_b{BATCH}"
     print(json.dumps({
         "metric": metric,
         "value": round(pps_per_chip, 3),
         "unit": "patches/s/chip",
+        "batch": BATCH,
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "mfu": mfu,
+        "tunnel": tunnel,
     }))
 
 

@@ -119,6 +119,32 @@ def main():
             results[name + "_tflops"] = round(
                 args.volumes * vol_tflop / dt, 1
             )
+    # tunnel normalization (VERDICT r4 item 6): same-session link rates +
+    # the per-phase split, so a cross-round swing (e.g. round 3's 247 vs
+    # round 4's 165 vol/min) is attributable from the artifact alone
+    try:
+        from tpu_mednet.utils.tunnel import probe_tunnel
+
+        tunnel = probe_tunnel()
+    except Exception as e:  # pragma: no cover
+        tunnel = {"error": str(e)[:120]}
+    phases = {}
+    if not tta_flips:  # measure_phases drives the non-TTA predictors
+        try:
+            import sys
+            from pathlib import Path
+
+            sys.path.insert(0, str(Path(__file__).parent))
+            from inference_profile import measure_phases
+
+            for name, _ in modes:
+                phases[name] = measure_phases(
+                    task, variables, model, args.size, args.patch,
+                    args.overlap, args.batch, mode=name, volumes=2,
+                )
+        except Exception as e:  # pragma: no cover
+            phases = {"error": str(e)[:120]}
+
     record = {
         "metric": "volumes_per_min_128cubed",
         "stitch_device": results["device"],
@@ -128,6 +154,8 @@ def main():
         "batch": args.batch,
         "tta": list(tta_flips) or False,
         "unit": "volumes/min",
+        "tunnel": tunnel,
+        "phases": phases,
     }
     if rounds is not None:
         record["ab_rounds"] = rounds

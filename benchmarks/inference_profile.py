@@ -31,6 +31,82 @@ def sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+def measure_phases(task, variables, model, size, patch, overlap, batch,
+                   mode="device", volumes=2, seed=0):
+    """Per-volume upload / compute / download split of one stitch mode.
+
+    Shared by this profiler and ``inference_bench.py`` (which embeds the
+    split in its JSON record so cross-round swings are attributable to a
+    specific phase — VERDICT r4 item 6).  Returns a dict of mean ms per
+    phase plus the sequential volumes/min implied by the split.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mednet.inference.device_sliding import (
+        _cached_predictor,
+        _grid_corners,
+    )
+    from tpu_mednet.inference.weighted import make_weighted_device_predictor
+
+    rng = np.random.default_rng(seed)
+    size3 = (size,) * 3
+    img_size = np.asarray(size3, dtype=np.int64)
+    ov = (overlap,) * 3
+    corners_np, padded = _grid_corners(img_size, (patch,) * 3, ov)
+    n_p = corners_np.shape[0]
+    pads = tuple(
+        (int(o), int(p - s - o)) for o, p, s in zip(ov, padded, img_size)
+    )
+    n_batches = -(-n_p // batch)
+    pad_n = n_batches * batch - n_p
+    corners = corners_np
+    mask = np.ones((n_p,), np.float32)
+    if pad_n:
+        corners = np.concatenate([corners, np.repeat(corners[-1:], pad_n, 0)])
+        mask = np.concatenate([mask, np.zeros((pad_n,), np.float32)])
+    corners_b = jnp.asarray(corners.reshape(n_batches, batch, 3))
+    mask_b = jnp.asarray(mask.reshape(n_batches, batch))
+
+    if mode == "device":
+        predictor = _cached_predictor(task, (patch,) * 3, ov, batch,
+                                      "constant")
+        call = lambda vd: predictor(variables, vd, corners_b, pads)
+    else:
+        wp = make_weighted_device_predictor(task, (patch,) * 3)
+        call = lambda vd: wp(variables, vd, corners_b, mask_b, pads)
+
+    vols = [
+        np.moveaxis(rng.normal(0, 1, (1, *size3)).astype(np.float16), 0, -1)
+        for _ in range(volumes)
+    ]
+    vd = jnp.asarray(vols[0], dtype=model.config.dtype)
+    sync(call(vd))  # compile warmup
+
+    ups, comps, downs = [], [], []
+    for vol in vols:
+        t0 = time.perf_counter()
+        vd = jnp.asarray(vol, dtype=model.config.dtype)
+        sync(vd)
+        t1 = time.perf_counter()
+        out = call(vd)
+        sync(out)
+        t2 = time.perf_counter()
+        _ = np.asarray(jax.device_get(out))
+        t3 = time.perf_counter()
+        ups.append(t1 - t0)
+        comps.append(t2 - t1)
+        downs.append(t3 - t2)
+    tot = float(np.sum(ups) + np.sum(comps) + np.sum(downs))
+    return {
+        "upload_ms": round(float(np.mean(ups)) * 1e3, 1),
+        "compute_ms": round(float(np.mean(comps)) * 1e3, 1),
+        "download_ms": round(float(np.mean(downs)) * 1e3, 1),
+        "volumes_per_min_sequential": round(volumes / tot * 60.0, 1),
+        "patches_per_volume": int(n_p),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--volumes", type=int, default=4)
@@ -45,13 +121,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu_mednet.inference.device_sliding import (
-        _cached_predictor,
-        _grid_corners,
-    )
-    from tpu_mednet.inference.weighted import (
-        make_weighted_device_predictor,
-    )
+    from tpu_mednet.inference.device_sliding import _grid_corners
     from tpu_mednet.models import ResidualUNet3D
     from tpu_mednet.tasks import SegmentationTask
     from tpu_mednet.utils.flops import unet_forward_flops
@@ -69,15 +139,10 @@ def main():
         1, 3, model.config.feature_maps, (args.patch,) * 3, block="residual"
     )
 
-    size = (args.size,) * 3
-    img_size = np.asarray(size, dtype=np.int64)
-    corners_np, padded = _grid_corners(img_size, (args.patch,) * 3,
-                                       (args.overlap,) * 3)
+    corners_np, _ = _grid_corners(
+        np.asarray((args.size,) * 3, dtype=np.int64), (args.patch,) * 3,
+        (args.overlap,) * 3)
     n_p = corners_np.shape[0]
-    ov = (args.overlap,) * 3
-    pads = tuple(
-        (int(o), int(p - s - o)) for o, p, s in zip(ov, padded, img_size)
-    )
     report = {
         "patches_per_volume": int(n_p),
         "fwd_tflop_per_volume": round(n_p * fwd_flop / 1e12, 3),
@@ -119,63 +184,13 @@ def main():
     for mode in modes:
         report["modes"][mode] = {}
         for b in args.batches:
-            n_batches = -(-n_p // b)
-            pad_n = n_batches * b - n_p
-            corners = corners_np
-            mask = np.ones((n_p,), np.float32)
-            if pad_n:
-                corners = np.concatenate(
-                    [corners, np.repeat(corners[-1:], pad_n, 0)]
-                )
-                mask = np.concatenate([mask, np.zeros((pad_n,), np.float32)])
-            corners_b = jnp.asarray(corners.reshape(n_batches, b, 3))
-            mask_b = jnp.asarray(mask.reshape(n_batches, b))
-
-            if mode == "device":
-                predictor = _cached_predictor(
-                    task, (args.patch,) * 3, ov, b, "constant"
-                )
-                call = lambda vd: predictor(variables, vd, corners_b, pads)
-            else:
-                wp = make_weighted_device_predictor(task, (args.patch,) * 3)
-                call = lambda vd: wp(variables, vd, corners_b, mask_b, pads)
-
-            # volumes as channels-last f16 host arrays (reader layout)
-            vols = [
-                np.moveaxis(
-                    rng.normal(0, 1, (1, *size)).astype(np.float16), 0, -1
-                )
-                for _ in range(args.volumes)
-            ]
-            # compile warmup
-            vd = jnp.asarray(vols[0], dtype=model.config.dtype)
-            sync(call(vd))
-
-            ups, comps, downs = [], [], []
-            for vol in vols:
-                t0 = time.perf_counter()
-                vd = jnp.asarray(vol, dtype=model.config.dtype)
-                sync(vd)
-                t1 = time.perf_counter()
-                out = call(vd)
-                sync(out)
-                t2 = time.perf_counter()
-                _ = np.asarray(jax.device_get(out))
-                t3 = time.perf_counter()
-                ups.append(t1 - t0)
-                comps.append(t2 - t1)
-                downs.append(t3 - t2)
-            tot = float(np.sum(ups) + np.sum(comps) + np.sum(downs))
-            comp = float(np.mean(comps))
-            report["modes"][mode][str(b)] = {
-                "upload_ms": round(float(np.mean(ups)) * 1e3, 1),
-                "compute_ms": round(comp * 1e3, 1),
-                "download_ms": round(float(np.mean(downs)) * 1e3, 1),
-                "volumes_per_min_sequential": round(
-                    args.volumes / tot * 60.0, 1
-                ),
-                "compute_tflops": round(n_p * fwd_flop / comp / 1e12, 1),
-            }
+            phases = measure_phases(
+                task, variables, model, args.size, args.patch, args.overlap,
+                b, mode=mode, volumes=args.volumes,
+            )
+            comp = phases["compute_ms"] / 1e3
+            phases["compute_tflops"] = round(n_p * fwd_flop / comp / 1e12, 1)
+            report["modes"][mode][str(b)] = phases
 
     print(json.dumps(report, indent=2))
 

@@ -37,6 +37,7 @@ LEVELS = 3
 BATCH = 2
 LR = 1e-3
 SIZE = 48
+HARD = False  # --hard: the non-saturating benchmark (see make_subject_hard)
 
 
 # --------------------------------------------------------------------------
@@ -73,10 +74,73 @@ def make_subject(rng, size=None):
     return img[None], lbl[None], heatmaps, landmarks
 
 
+def make_subject_hard(rng, size=None):
+    """One hard subject: 5 overlapping, low-contrast, heavily imbalanced
+    foreground structures on strong noise (VERDICT r4 item 1 — the easy
+    task saturates at Dice ~1.0, so its metric cannot detect a real
+    sub-percent quality regression).  Contrasts sit at or below the noise
+    sigma, structures share borders (shell around sphere, box cutting the
+    sphere), and class 4 is ~100 voxels in a 64^3 volume, so converged
+    models land mid-range on per-channel Dice with headroom both ways.
+
+    Landmarks/heatmaps mark the class-1 and class-4 centers so the ldmk
+    task stays runnable in hard mode too."""
+    size = size or SIZE
+    img = rng.normal(0.0, 0.3, size=(size, size, size)).astype(np.float32)
+    lbl = np.zeros((size, size, size), dtype=np.uint8)
+    zz, yy, xx = np.ogrid[:size, :size, :size]
+
+    # class 1: large low-contrast sphere
+    c1 = rng.integers(18, size - 18, size=3)
+    r1 = int(rng.integers(9, 13))
+    d1 = (zz - c1[0]) ** 2 + (yy - c1[1]) ** 2 + (xx - c1[2]) ** 2
+    s1 = d1 <= r1 * r1
+    lbl[s1] = 1
+    img[s1] += 0.35
+
+    # class 3 first carved as the thin shell around that sphere — a 2-voxel
+    # boundary class the model must separate from both sides
+    shell = (d1 > r1 * r1) & (d1 <= (r1 + 2) ** 2)
+    lbl[shell] = 3
+    img[shell] += 0.20
+
+    # class 2: box overlapping the sphere (cuts into classes 1 and 3)
+    c2 = np.clip(c1 + rng.integers(-8, 9, size=3), 8, size - 8)
+    h2 = int(rng.integers(5, 8))
+    box = tuple(slice(max(int(c) - h2, 0), int(c) + h2) for c in c2)
+    lbl[box] = 2
+    img[box] -= 0.25
+
+    # class 4: tiny rare sphere (heavy imbalance)
+    c4 = rng.integers(6, size - 6, size=3)
+    r4 = 2 + int(rng.integers(0, 2))
+    s4 = ((zz - c4[0]) ** 2 + (yy - c4[1]) ** 2 + (xx - c4[2]) ** 2) <= r4 * r4
+    lbl[s4] = 4
+    img[s4] += 0.40
+
+    # class 5: very low contrast ellipsoid, background-only (no overwrite)
+    c5 = rng.integers(12, size - 12, size=3)
+    ell = ((zz - c5[0]) ** 2 / 64.0 + (yy - c5[1]) ** 2 / 25.0
+           + (xx - c5[2]) ** 2 / 16.0) <= 1.0
+    ell = ell & (lbl == 0)
+    lbl[ell] = 5
+    img[ell] += 0.15
+
+    landmarks = np.stack([c1, c4]).astype(np.float32)
+    heatmaps = np.zeros((N_HEATMAPS, size, size, size), dtype=np.uint8)
+    grid = np.stack(np.meshgrid(*[np.arange(size)] * 3, indexing="ij"))
+    for i, c in enumerate(landmarks):
+        d2 = ((grid - c[:, None, None, None]) ** 2).sum(axis=0)
+        heatmaps[i] = np.round(
+            255.0 * np.exp(-d2 / (2 * SIGMA**2))).astype(np.uint8)
+    return img[None], lbl[None], heatmaps, landmarks
+
+
 def make_dataset(n_train=4, n_val=2, seed=0):
     rng = np.random.default_rng(seed)
-    return ([make_subject(rng) for _ in range(n_train)],
-            [make_subject(rng) for _ in range(n_val)])
+    gen = make_subject_hard if HARD else make_subject
+    return ([gen(rng) for _ in range(n_train)],
+            [gen(rng) for _ in range(n_val)])
 
 
 def draw_patch_schedule(train, steps, seed=1):
@@ -90,11 +154,14 @@ def draw_patch_schedule(train, steps, seed=1):
         if rng.random() < 0.7:  # class-balanced: contain a labeled voxel
             cls = int(rng.integers(1, N_CLASSES))
             pos = np.argwhere(train[s][1][0] == cls)
-            p = pos[rng.integers(len(pos))]
-            lo = np.maximum(p - PATCH + 1, 0)
-            hi = np.minimum(p, size - PATCH)
-            corner = np.array([int(rng.integers(l, h + 1))
-                               for l, h in zip(lo, np.maximum(hi, lo))])
+            if len(pos):
+                p = pos[rng.integers(len(pos))]
+                lo = np.maximum(p - PATCH + 1, 0)
+                hi = np.minimum(p, size - PATCH)
+                corner = np.array([int(rng.integers(l, h + 1))
+                                   for l, h in zip(lo, np.maximum(hi, lo))])
+            else:  # class absent from this subject (possible in hard mode)
+                corner = rng.integers(0, size - PATCH + 1, size=3)
         else:
             corner = rng.integers(0, size - PATCH + 1, size=3)
         sched.append((s, corner))
@@ -123,7 +190,9 @@ def batches(train, sched, task):
 # shared numpy metrics
 # --------------------------------------------------------------------------
 
-def dice_per_channel(pred_mask, true_mask, n_classes=N_CLASSES):
+def dice_per_channel(pred_mask, true_mask, n_classes=None):
+    # read the global at CALL time: --hard rebinds N_CLASSES after import
+    n_classes = N_CLASSES if n_classes is None else n_classes
     out = []
     for c in range(n_classes):
         p, g = pred_mask == c, true_mask == c
@@ -253,9 +322,13 @@ def summarize(framework, task, steps, train_s, dices, lerrs, n_params=None):
 
 
 def main():
-    global PATCH, FMAPS, SIZE, LEVELS
+    global PATCH, FMAPS, SIZE, LEVELS, N_CLASSES, HARD
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["seg", "ldmk", "both"], default="both")
+    ap.add_argument("--hard", action="store_true",
+                    help="non-saturating benchmark: 6 classes, overlapping "
+                         "low-contrast structures, heavy imbalance, strong "
+                         "noise (VERDICT r4 item 1)")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--skip", choices=["torch", "jax", "none"], default="none")
     ap.add_argument("--dtype", default="bfloat16",
@@ -282,6 +355,8 @@ def main():
                 ap.get_default("size"), ap.get_default("levels"))
     non_default = (args.patch, args.fmaps, args.size, args.levels) != defaults
     PATCH, FMAPS, SIZE, LEVELS = args.patch, args.fmaps, args.size, args.levels
+    if args.hard:
+        HARD, N_CLASSES = True, 6
 
     tasks = ["seg", "ldmk"] if args.task == "both" else [args.task]
     out_path = Path(__file__).parent / "matched_accuracy.json"
@@ -292,6 +367,8 @@ def main():
         sched = draw_patch_schedule(train, args.steps, seed=1 + args.seed)
         key_name = (f"{task}_p{PATCH}f{FMAPS}s{SIZE}l{LEVELS}" if non_default
                     else task)
+        if args.hard:
+            key_name = "hard_" + key_name
         if args.seed:
             key_name += f"_seed{args.seed}"
         entry = results.setdefault(key_name, {})
@@ -299,7 +376,7 @@ def main():
             "patch": PATCH, "batch": BATCH, "steps": args.steps,
             "fmaps": FMAPS, "levels": LEVELS, "lr": LR, "size": SIZE,
             "n_classes": N_CLASSES, "n_heatmaps": N_HEATMAPS,
-            "seed": args.seed,
+            "seed": args.seed, "hard": HARD,
         }
         if args.skip != "torch":
             entry["torch"] = run_torch(task, train, val, sched, args.steps,
