@@ -92,6 +92,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             f"({n_devices})"
         )
     mesh = make_mesh(n_data=n_devices // n_space, n_space=n_space)
+    from tpu_mednet.config import validate_task_config
+    validate_task_config(hparams, "ldmk", n_data=mesh.shape["data"])
     if hparams.device_sampler and n_devices > 1:
         # replicate the HBM volume store over the mesh (don't pin device 0)
         from tpu_mednet.parallel.mesh import replicated
@@ -115,6 +117,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         )
 
     task = LandmarkTask.from_hparams(hparams)
+    # store-vs-config seam: the network's first num_heatmaps channels are
+    # split off as heatmap regressors (landmarks.py:74-75) — a store whose
+    # heatmap group carries a different channel count would otherwise die
+    # as a shape error inside jit tracing
+    n_hm_store = getattr(train_ds, "num_heatmap_channels", None)
+    if n_hm_store is None:
+        hm = getattr(train_ds, "heatmaps", None)  # PatchSampler deque
+        if hm is not None:
+            n_hm_store = int(hm[0].shape[0])
+    if n_hm_store is not None and n_hm_store != task.num_heatmaps:
+        raise SystemExit(
+            f"store group {hparams.landmark_group or hparams.heatmap_group!r} "
+            f"has {n_hm_store} heatmap channels/landmarks per subject but "
+            f"--loss_regression_weight has {task.num_heatmaps} entries — "
+            f"one weight per heatmap channel")
     trainer = Trainer(
         task, train_ds, val_sampler=val_ds,
         batch_size=hparams.batch_size,

@@ -77,6 +77,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             f"({n_devices})"
         )
     mesh = make_mesh(n_data=n_devices // n_space, n_space=n_space)
+    from tpu_mednet.config import validate_task_config
+    validate_task_config(hparams, "seg", n_data=mesh.shape["data"])
     # on a multi-device mesh, replicate the HBM volume store so gathered
     # batches don't pin everything to device 0 and reshard every step
     sampler_extra = {}

@@ -361,3 +361,48 @@ def read_keyfile(path) -> List[str]:
     """Read newline-separated subject keys (train_seg.py:89-95)."""
     with open(replace_env(str(path))) as f:
         return [line.strip() for line in f if line.strip()]
+
+
+def validate_task_config(hparams, task: str, n_data: int = 1) -> None:
+    """Fail fast on config-vs-config mismatches with named-flag messages.
+
+    Called by the train CLIs after the mesh is built (VERDICT r4 item 8):
+    every mismatch here would otherwise surface as a shape error deep in
+    jit tracing (loss weights), an opaque sharding error (batch vs mesh),
+    or a silently mis-sampled class distribution.
+    """
+    oc = int(hparams.out_channels)
+    if task == "seg":
+        w = getattr(hparams, "loss_weight", None)
+        if w is not None and len(w) != oc:
+            raise SystemExit(
+                f"--loss_weight has {len(w)} entries but --out_channels is "
+                f"{oc}: the class weights are per output channel")
+        n_classes = oc
+    else:
+        reg = list(hparams.loss_regression_weight)
+        n_classes = oc - len(reg)
+        if n_classes < 1:
+            raise SystemExit(
+                f"--out_channels {oc} must exceed the number of heatmaps "
+                f"len(--loss_regression_weight)={len(reg)}: the first "
+                f"{len(reg)} output channels regress heatmaps and the rest "
+                f"are class logits (reference landmarks.py:57,74-75)")
+        w = getattr(hparams, "loss_class_weight", None)
+        if w is not None and len(w) != n_classes:
+            raise SystemExit(
+                f"--loss_class_weight has {len(w)} entries but the class "
+                f"head has {n_classes} channels (--out_channels {oc} minus "
+                f"{len(reg)} heatmap channels)")
+    cp = getattr(hparams, "class_probabilities", None)
+    if cp is not None and len(cp) != n_classes:
+        raise SystemExit(
+            f"--class_probabilities has {len(cp)} entries but the task has "
+            f"{n_classes} classes ({'--out_channels' if task == 'seg' else '--out_channels minus the heatmap channels'})"
+            f" — the sampler draws the patch-center class from this "
+            f"distribution (index 0 = background)")
+    if n_data > 1 and int(hparams.batch_size) % n_data:
+        raise SystemExit(
+            f"--batch_size {hparams.batch_size} is not divisible by the "
+            f"data-parallel mesh size {n_data} (--gpus / --spatial_shards): "
+            f"the global batch shards evenly across the 'data' axis")

