@@ -70,27 +70,68 @@ def main():
     # multi-modality first-conv shape
     ap = argparse.ArgumentParser()
     ap.add_argument("--in_channels", type=int, default=1)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 32 (residual) / 8 (unet3d; 16 OOM'd at "
+                         "a measured 23.26G — the concat join's full-res "
+                         "temps, see utils/memory.py)")
+    ap.add_argument("--model", choices=["residual", "unet3d"],
+                    default="residual",
+                    help="unet3d = the reference's vanilla 4-level net "
+                         "(f_maps from 64, DoubleConv, concat joins, "
+                         "ref model.py:11-110); VERDICT r4 item 4")
+    ap.add_argument("--out_channels", type=int, default=None,
+                    help="default: 2, or 8 with --heatmaps 6")
+    ap.add_argument("--heatmaps", type=int, default=0,
+                    help="N>0 benches the multitask LandmarkTask step "
+                         "(heatmap MSE + Dice), e.g. --heatmaps 6 "
+                         "--out_channels 8 --batch 4 = the per-chip "
+                         "program of BASELINE config 5 (multitask_dp.yaml)")
+    ap.add_argument("--remat", type=int, default=1)
     args = ap.parse_args()
 
     wait_for_backend()
     import jax
     import jax.numpy as jnp
 
-    from tpu_mednet.models import ResidualUNet3D
+    from tpu_mednet.models import ResidualUNet3D, UNet3D
     from tpu_mednet.ops.augment import AugmentConfig
     from tpu_mednet.parallel.mesh import batch_sharding, make_mesh, replicated
-    from tpu_mednet.tasks import SegmentationTask
+    from tpu_mednet.tasks import LandmarkTask, SegmentationTask
     from tpu_mednet.train import create_train_state, make_train_step
 
     PATCH = 96
-    BATCH = args.batch
+    BATCH = args.batch if args.batch is not None else (
+        32 if args.model == "residual" else 8)
     C_IN = args.in_channels
+    OUT_C = args.out_channels if args.out_channels is not None else (
+        args.heatmaps + 2 if args.heatmaps else 2)
     ITERS = 20
     WARMUP = 3
 
-    model = ResidualUNet3D(in_channels=C_IN, out_channels=2, f_maps=32, remat=1, packed=True)
-    task = SegmentationTask(model=model, loss="DICE")
+    if args.model == "residual":
+        model = ResidualUNet3D(in_channels=C_IN, out_channels=OUT_C,
+                               f_maps=32, remat=args.remat, packed=True)
+    else:
+        # vanilla net: DoubleConv/concat family — packed_io does not apply
+        # (models/unet.py packed_io gate); remat=1 fits batch 8 at 96^3
+        # (batch 16 OOM'd at a measured 23.26G: concat-join full-res temps)
+        from tpu_mednet.models import UNet3DBase, UNetConfig
+
+        model = UNet3DBase(config=UNetConfig(
+            in_channels=C_IN, out_channels=OUT_C, f_maps=64, num_levels=4,
+            block="double", layer_order="gcr", num_groups=8,
+            dtype=jnp.bfloat16, remat=args.remat,
+        ))
+    if args.heatmaps:
+        # config-5 per-heatmap weights when the count matches; uniform else
+        reg_w = ([0.001, 0.015, 0.015, 0.015, 0.001, 0.001]
+                 if args.heatmaps == 6 else [1.0 / args.heatmaps] * args.heatmaps)
+        task = LandmarkTask(model=model, loss_regression_weight=reg_w,
+                            loss_class="DICE",
+                            loss_class_weight=[0.05, 1.0][:OUT_C - args.heatmaps]
+                            if OUT_C - args.heatmaps == 2 else None)
+    else:
+        task = SegmentationTask(model=model, loss="DICE")
     mesh = make_mesh(n_data=min(len(jax.devices()), 8))
     n_dev = mesh.shape["data"]
 
@@ -101,15 +142,20 @@ def main():
     step = make_train_step(task, augment=AugmentConfig(mirror_axes=(1, 2, 3)))
 
     rng = np.random.default_rng(0)
+    n_label_c = args.heatmaps + 1
+    label = np.concatenate([
+        rng.integers(0, 256, size=(BATCH, PATCH, PATCH, PATCH, args.heatmaps)),
+        rng.integers(0, OUT_C - args.heatmaps,
+                     size=(BATCH, PATCH, PATCH, PATCH, 1)),
+    ], axis=-1).astype(np.uint8) if args.heatmaps else rng.integers(
+        0, OUT_C, size=(BATCH, PATCH, PATCH, PATCH, 1)).astype(np.uint8)
+    assert label.shape[-1] == n_label_c
     batch = {
         "data": jax.device_put(
             rng.normal(size=(BATCH, PATCH, PATCH, PATCH, C_IN)).astype(np.float32),
             batch_sharding(mesh),
         ),
-        "label": jax.device_put(
-            rng.integers(0, 2, size=(BATCH, PATCH, PATCH, PATCH, 1)).astype(np.uint8),
-            batch_sharding(mesh),
-        ),
+        "label": jax.device_put(label, batch_sharding(mesh)),
     }
 
     # logical train-step FLOPs for MFU.  NOT XLA's cost model: that counts
@@ -118,9 +164,10 @@ def main():
     from tpu_mednet.utils.flops import unet_train_step_flops
 
     step_flops = unet_train_step_flops(
-        in_channels=C_IN, out_channels=2,
+        in_channels=C_IN, out_channels=OUT_C,
         feature_maps=model.config.feature_maps,
-        patch=(PATCH, PATCH, PATCH), batch=BATCH, block="residual",
+        patch=(PATCH, PATCH, PATCH), batch=BATCH,
+        block=model.config.block,
     )
 
     for _ in range(WARMUP):
@@ -161,11 +208,22 @@ def main():
         tunnel = {"error": str(e)[:120]}
 
     metric = "train_patches_per_sec_per_chip_96cubed"
+    if args.model != "residual":
+        metric += f"_{args.model}"
+        vs_baseline = None  # the torch denominator is the residual net
+    if args.heatmaps:
+        metric += f"_mt{args.heatmaps}"
+        vs_baseline = None
     if C_IN != 1:
         metric += f"_in{C_IN}"
-    if BATCH != 32:
-        # keep variant rows distinguishable from the standing batch-32
-        # config in BENCH logs (vs_baseline stays batch-32-calibrated)
+    if OUT_C not in (2, args.heatmaps + 2):
+        metric += f"_out{OUT_C}"
+    if args.remat != 1:
+        metric += f"_remat{args.remat}"
+    default_batch = 32 if args.model == "residual" else 8
+    if BATCH != default_batch:
+        # keep variant rows distinguishable from the standing config in
+        # BENCH logs (vs_baseline stays batch-32-calibrated)
         metric += f"_b{BATCH}"
     print(json.dumps({
         "metric": metric,

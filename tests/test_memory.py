@@ -69,6 +69,23 @@ def test_train_estimate_config4_remat0_oom_point():
     assert unet_train_peak_bytes(2, remat=1, **kw) < 0.5 * V5E_HBM
 
 
+def test_train_estimate_unet3d_concat_oom_point():
+    """UNet3D (DoubleConv/concat, f_maps from 64) at 96 cubed, remat=1:
+    batch 16 OOM'd at a measured **23.26G** (round 5, bench log) — the
+    leaders of the dump are the concat join's full-resolution temps
+    (bf16 192-channel concat 6.75G + upsampled 3.38G + two stored 64-ch
+    skips).  batch 8 runs (11.62 p/s measured).  The estimator's
+    double-block join/skip terms must bracket that boundary."""
+    kw = dict(patch=(96, 96, 96), feature_maps=[64, 128, 256, 512],
+              in_channels=1, out_channels=2, n_params=16_318_756,
+              block="double", remat=1)
+    e16 = unet_train_peak_bytes(16, **kw)
+    e8 = unet_train_peak_bytes(8, **kw)
+    assert e16 > V5E_HBM
+    assert abs(e16 - 23.26 * GiB) / (23.26 * GiB) < 0.30
+    assert e8 <= V5E_HBM
+
+
 def test_train_estimate_monotonic_in_batch_and_remat():
     base = unet_train_peak_bytes(8, **FLAGSHIP)
     assert unet_train_peak_bytes(16, **FLAGSHIP) > base
@@ -117,6 +134,31 @@ def test_stitch_bytes_grow_with_volume():
     small, _ = device_stitch_bytes(img_size=(64, 64, 64), **kw)
     big, _ = device_stitch_bytes(img_size=(256, 256, 256), **kw)
     assert big > 4 * small
+
+
+def test_infer_estimates_bracket_measured_boundaries():
+    """Round-5 measured inference points (benchmarks/infer_oom_probe.py,
+    AOT compiles on the real chip): the gaussian stitch at flagship width,
+    96-cubed patches, overlap 16, batch 8, 3-channel head compiles at
+    832-cubed and OOMs at 896-cubed with a reported peak of **18.08G**;
+    the device stitch compiles through 1280-cubed (the old sum model
+    called that a 24.9G OOM).  The phase-max model must bracket all of
+    it."""
+    kw = dict(patch_size=(96, 96, 96), patch_overlap=(16, 16, 16),
+              batch_size=8, in_channels=1, out_channels=1,
+              feature_maps=[32, 64, 128, 256, 512],
+              params_bytes=35_318_000 * 6)
+    g832, _ = device_stitch_bytes(img_size=(832,) * 3, stitch="gaussian",
+                                  acc_channels=3, **kw)
+    g896, _ = device_stitch_bytes(img_size=(896,) * 3, stitch="gaussian",
+                                  acc_channels=3, **kw)
+    assert g832 <= V5E_HBM
+    assert g896 > V5E_HBM
+    assert abs(g896 - 18.08 * GiB) / (18.08 * GiB) < 0.15
+    d1152, _ = device_stitch_bytes(img_size=(1152,) * 3, stitch="device", **kw)
+    d1280, _ = device_stitch_bytes(img_size=(1280,) * 3, stitch="device", **kw)
+    assert d1152 <= V5E_HBM
+    assert d1280 <= V5E_HBM
 
 
 def test_budget_env_override(monkeypatch):

@@ -111,6 +111,36 @@ def test_make_batch_source_auto_and_fallback():
 
 
 @needs_native
+def test_lazy_sampler_falls_back_to_window_reads(tmp_path):
+    """A preload=False sampler holds live h5py handles — the native path
+    must decline (np.asarray on a handle would read WHOLE volumes per
+    batch) and the pipeline must still yield the identical batch stream
+    through the numpy window-read fallback."""
+    import h5py
+
+    rng = np.random.default_rng(3)
+    path = tmp_path / "lazy.h5"
+    with h5py.File(path, "w") as f:
+        for i in range(2):
+            f.create_dataset(
+                f"images/s{i}",
+                data=rng.normal(0, 1, (1, 24, 24, 24)).astype(np.float16))
+            f.create_dataset(
+                f"labels/s{i}",
+                data=rng.integers(0, 3, (1, 24, 24, 24)).astype(np.uint8))
+    kw = dict(samples_per_subject=4, patch_size=(12, 12, 12),
+              class_probabilities=[0.2, 0.4, 0.4], seed=5)
+    lazy = PatchSampler(path, ["s0", "s1"], preload=False, **kw)
+    ref = PatchSampler(path, ["s0", "s1"], preload=True, **kw)
+    pipe = NativeBatchPipeline(lazy, prefetch=False)
+    assert not pipe.usable()
+    for b_ref, b_lazy in zip(ref.batches(4), pipe.batches(4)):
+        np.testing.assert_array_equal(b_ref["data"], b_lazy["data"])
+        np.testing.assert_array_equal(b_ref["label"], b_lazy["label"])
+    lazy.close()
+
+
+@needs_native
 def test_prefetch_propagates_worker_errors():
     s = build_sampler()
     pipe = NativeBatchPipeline(s, prefetch=True)

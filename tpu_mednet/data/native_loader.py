@@ -58,8 +58,14 @@ class NativeBatchPipeline:
         return self.sampler.patch_size
 
     def usable(self) -> bool:
-        """Native path applies: library built and no host transform hook."""
-        return native.available() and self.sampler.transform is None
+        """Native path applies: library built, no host transform hook, and
+        volumes preloaded as numpy (a lazy ``preload=False`` sampler holds
+        live h5py/zarr window handles — the C++ assembly needs contiguous
+        host buffers, and ``np.asarray`` on a handle would silently read
+        the WHOLE volume per batch; the numpy fallback path slices only
+        the requested windows)."""
+        return (native.available() and self.sampler.transform is None
+                and isinstance(self.sampler.images[0], np.ndarray))
 
     # -- index drawing (mirrors PatchSampler.sample minus the array work) --
 

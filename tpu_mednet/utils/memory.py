@@ -34,6 +34,20 @@ The models are calibrated against measured points on the v5e chip
   estimator models the unpacked layout.
 - ``XLA_OVERHEAD`` covers fusion temps, layout copies, backward
   double-buffering and fragmentation over the analytic sum.
+- INFERENCE (round 5, ``benchmarks/infer_oom_probe.py`` — AOT compiles of
+  the real stitch executables, no data transfer): gaussian stitch at
+  flagship width / 96 cubed patches / batch 8 / 3-channel head compiles at
+  832 cubed, OOMs at 896 cubed with a reported peak of **18.08G**; the
+  device stitch compiles through 1280 cubed.  The stitch model is
+  therefore PHASE-MAX, not sum: XLA frees the raw input after padding and
+  the padded volume before the crop, so peak = max(scan phase, finalize
+  phase).  ``INFER_WORK_UNITS`` is fit to the 896-point's residual
+  (~3.34G forward working set at batch 8).
+- UNet3D (DoubleConv/concat, f_maps from 64) at 96 cubed remat=1: batch 16
+  OOM'd at **23.26G** (round 5) — the concat join's full-resolution temps
+  (bf16 192-channel concat + upsampled deep feature) plus stored encoder
+  skips; ``unet_train_peak_bytes`` adds those for ``block='double'`` and
+  brackets the boundary (batch 8 fits, measured 11.62 p/s).
 """
 
 from __future__ import annotations
@@ -51,9 +65,12 @@ GiB = float(1 << 30)
 XLA_OVERHEAD = 2.0
 
 # concurrently-live activation units at the widest level of an inference
-# forward (input + output of the running conv + one fusion temp + the
-# stage residual)
-INFER_WORK_UNITS = 4.0
+# forward.  MEASURED (round 5, benchmarks/infer_oom_probe.py): the
+# gaussian stitch at 896 cubed OOM'd with a reported peak of 18.08G; its
+# device-resident accumulators/padded volume/input account for 14.74G,
+# leaving ~3.34G of forward working set at flagship batch 8 — this
+# constant reproduces that (skips + W*unit0)*XLA_OVERHEAD = 3.34G fit.
+INFER_WORK_UNITS = 2.6
 
 # fp32 GroupNorm working buffers per stored full-resolution conv (measured
 # from the config-4 OOM dump; see module docstring)
@@ -129,11 +146,17 @@ def unet_train_peak_bytes(
     remat_k = n_levels if remat is True else int(remat)
 
     act = 0.0
+    join_raw = 0.0
     # encoder stage i consumes the level-(i-1) output and produces level i
     for i, c in enumerate(f):
         inp = _unit_bytes(batch, patch, max(i - 1, 0), f[i - 1], dtype_bytes) \
             if i else _unit_bytes(batch, patch, 0, in_channels, dtype_bytes)
         act += inp
+        if block == "double" and i < n_levels - 1:
+            # concat-join family: every encoder skip feature stays live
+            # until its decoder concat consumes it (measured: the UNet3D
+            # b16 96-cubed OOM dump holds two full-res f[0] skips)
+            act += _unit_bytes(batch, patch, i, c, dtype_bytes)
         if i >= remat_k:  # stored stage: conv outputs live until backward
             act += convs * _unit_bytes(batch, patch, i, c, dtype_bytes)
             if i == 0:
@@ -144,6 +167,18 @@ def unet_train_peak_bytes(
     # decoder stage j outputs at level (n_levels-2-j)
     for j in range(n_levels - 1):
         out_lvl = n_levels - 2 - j
+        if block == "double":
+            # concat join temps at the OUTPUT resolution: the nearest-
+            # upsampled deep feature (f[out_lvl+1]) plus the concatenated
+            # (f[out_lvl] + f[out_lvl+1]) conv input are materialized
+            # whether or not the stage is rematted.  Counted WITHOUT the
+            # XLA_OVERHEAD factor: these ARE the overhead buffers (the
+            # 6.75G + 3.38G leaders of the measured b16 dump); the
+            # resulting model brackets the measured pair — b16 predicts
+            # 24.6G vs 23.26G measured OOM, b8 predicts 13.0G (fits).
+            join_raw += _unit_bytes(
+                batch, patch, out_lvl, f[out_lvl] + 2 * f[out_lvl + 1],
+                dtype_bytes)
         if out_lvl >= remat_k:
             # transpose-conv output + conv outputs
             act += (convs + 1) * _unit_bytes(
@@ -158,7 +193,7 @@ def unet_train_peak_bytes(
     # fp32 logits + one-hot/loss temps at full resolution
     act += 2 * _unit_bytes(batch, patch, 0, out_channels, 4)
     params = n_params * (12 + dtype_bytes)
-    return int(act * XLA_OVERHEAD + params)
+    return int(act * XLA_OVERHEAD + join_raw + params)
 
 
 def _padded_extent(img_size, patch_size, overlap) -> np.ndarray:
@@ -212,13 +247,6 @@ def device_stitch_bytes(
         "padded_volume_f16": int(padded_vox * in_channels * 2),
         "params": int(params_bytes),
     }
-    if stitch == "gaussian":
-        breakdown["accumulator_f32"] = int(padded_vox * acc_channels * 4)
-        breakdown["weight_accumulator_f32"] = int(padded_vox * 4)
-        breakdown["result_u8"] = int(img_vox * out_channels)
-    else:
-        breakdown["result_u8"] = int(padded_vox * out_channels)
-        breakdown["crop_copy_u8"] = int(img_vox * out_channels)
     # TTA runs the forward per flip combination; the accumulated activation
     # buffer adds ~one fp32 patch batch
     fwd = unet_infer_peak_bytes(batch_size, patch_size, feature_maps,
@@ -227,7 +255,35 @@ def device_stitch_bytes(
         patch_vox = float(np.prod(np.asarray(patch_size, dtype=np.float64)))
         fwd += int(batch_size * patch_vox * out_channels * 4 * XLA_OVERHEAD)
     breakdown["forward_working_set"] = int(fwd)
-    return sum(breakdown.values()), breakdown
+
+    # PHASE-MAX model (measured, round 5, benchmarks/infer_oom_probe.py):
+    # XLA frees phase-dead buffers, so the peak is the larger of the scan
+    # phase (padded volume + accumulators/result + raw input + forward
+    # working set) and the finalize phase (accumulators/result + the
+    # cropped output copy) — NOT the sum of everything.  Calibration:
+    # gaussian 896-cubed OOM'd at a reported 18.08G (scan phase
+    # reproduces it), 832-cubed compiles; device stitch compiles through
+    # 1280-cubed, which the old sum model mispredicted as a 24.9G OOM.
+    if stitch == "gaussian":
+        breakdown["accumulator_f32"] = int(padded_vox * acc_channels * 4)
+        breakdown["weight_accumulator_f32"] = int(padded_vox * 4)
+        breakdown["result_u8"] = int(img_vox * out_channels)
+        resident = (breakdown["padded_volume_f16"]
+                    + breakdown["accumulator_f32"]
+                    + breakdown["weight_accumulator_f32"])
+        scan = resident + breakdown["input_volume_f16"] + breakdown[
+            "forward_working_set"]
+        final = resident + breakdown["result_u8"]
+    else:
+        breakdown["result_u8"] = int(padded_vox * out_channels)
+        breakdown["crop_copy_u8"] = int(img_vox * out_channels)
+        resident = breakdown["padded_volume_f16"] + breakdown["result_u8"]
+        scan = resident + breakdown["input_volume_f16"] + breakdown[
+            "forward_working_set"]
+        final = resident + breakdown["crop_copy_u8"]
+    breakdown["peak_phase_scan"] = int(scan)
+    breakdown["peak_phase_final"] = int(final)
+    return int(params_bytes + max(scan, final)), breakdown
 
 
 def hbm_budget_bytes(default_gb: float = DEFAULT_HBM_GB) -> int:
