@@ -296,3 +296,14 @@ def test_log_level_string_to_int():
     assert log_level_string_to_int("info") == logging.INFO
     with pytest.raises(Exception):
         log_level_string_to_int("bogus")
+
+
+def test_probe_tunnel_fields():
+    """The transfer probe (tunnel-normalized benches, VERDICT r4 item 6)
+    returns positive rates and RTT on any backend."""
+    from tpu_mednet.utils.tunnel import probe_tunnel
+
+    out = probe_tunnel(mb=0.5, rtt_reps=2)
+    assert set(out) == {"h2d_mb_s", "d2h_mb_s", "rtt_ms", "probe_mb"}
+    assert all(v > 0 for v in out.values())
+    assert out["probe_mb"] == 0.5
