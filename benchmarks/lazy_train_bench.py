@@ -54,6 +54,15 @@ def main():
     ap.add_argument("--patch", type=int, default=96)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--store", default="/tmp/lazy_bench.h5")
+    ap.add_argument("--host_only", action="store_true",
+                    help="measure host-side batch production only (no "
+                         "device): lazy window reads vs preloaded RAM, "
+                         "with a simulated per-step device window — the "
+                         "starvation question independent of the axon "
+                         "tunnel's transfer floor")
+    ap.add_argument("--step_ms", type=float, default=270.0,
+                    help="simulated device step time for --host_only "
+                         "(270 ms = the measured batch-8 96^3 step)")
     args = ap.parse_args()
 
     import numpy as np
@@ -62,11 +71,54 @@ def main():
     keys = build_store(store, args.subjects, args.size)
     store_mb = store.stat().st_size / 1e6
 
+    if args.host_only:
+        from tpu_mednet.data.native_loader import make_batch_source
+        from tpu_mednet.data.patch_sampler import PatchSampler
+
+        def produce(preload: bool):
+            sampler = PatchSampler(
+                store, keys, samples_per_subject=1000,
+                patch_size=(args.patch,) * 3,
+                class_probabilities=[0.3, 0.7], preload=preload, seed=1)
+            source = make_batch_source(sampler)
+            it = source.batches(args.batch)
+            next(it)  # warmup (page-in)
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(args.steps):
+                b = next(it)
+                n += int(b["data"].shape[0])
+                time.sleep(args.step_ms / 1e3)  # the device window
+            dt = time.perf_counter() - t0
+            sampler.close()
+            # production headroom: time NOT spent sleeping is host cost
+            host_s = dt - args.steps * args.step_ms / 1e3
+            return n / dt, host_s / args.steps * 1e3, type(source).__name__
+
+        pps_pre, host_pre_ms, src_pre = produce(True)
+        pps_lazy, host_lazy_ms, src_lazy = produce(False)
+        ideal = args.batch / (args.step_ms / 1e3)
+        print(json.dumps({
+            "metric": "lazy_vs_preload_host_production",
+            "store_mb": round(store_mb, 1),
+            "step_ms_simulated": args.step_ms,
+            "ideal_patches_per_sec": round(ideal, 2),
+            "preload": round(pps_pre, 2),
+            "lazy": round(pps_lazy, 2),
+            "host_ms_per_batch_preload": round(host_pre_ms, 1),
+            "host_ms_per_batch_lazy": round(host_lazy_ms, 1),
+            "lazy_fraction_of_ideal": round(pps_lazy / ideal, 3),
+            "source_preload": src_pre,
+            "source_lazy": src_lazy,
+            "unit": "patches/s",
+        }))
+        store.unlink()
+        return
+
     import jax
 
     from tpu_mednet.data.native_loader import make_batch_source
     from tpu_mednet.data.patch_sampler import PatchSampler
-    from tpu_mednet.data.prefetch import device_prefetch
     from tpu_mednet.models import ResidualUNet3D
     from tpu_mednet.ops.augment import AugmentConfig
     from tpu_mednet.tasks import SegmentationTask
@@ -88,11 +140,15 @@ def main():
         source = make_batch_source(sampler)  # native declines lazy samplers
         state = state0
 
+        # synchronous feed: a producer-thread jax.device_put raced the jit
+        # execution over the axon tunnel (repeatable backend
+        # InvalidArgument); on this transfer-bound link the prefetch
+        # overlap is immaterial to the lazy-vs-preload RATIO anyway
         def batches():
             for b in source.batches(args.batch):
                 yield {"data": b["data"], "label": b["label"]}
 
-        it = device_prefetch(batches(), buffer_size=2)
+        it = batches()
         # warmup: compile + first batches
         for _ in range(3):
             state, metrics = step(state, next(it))
@@ -104,7 +160,7 @@ def main():
             n += args.batch
         _ = float(metrics["train_loss"])  # device sync
         dt = time.perf_counter() - t0
-        it.close()  # join the prefetch producer before closing the reader
+        it.close()
         sampler.close()
         return n / dt, type(source).__name__
 
