@@ -121,6 +121,7 @@ def main():
     from tpu_mednet.data.patch_sampler import PatchSampler
     from tpu_mednet.models import ResidualUNet3D
     from tpu_mednet.ops.augment import AugmentConfig
+    from tpu_mednet.parallel.mesh import batch_sharding, make_mesh, replicated
     from tpu_mednet.tasks import SegmentationTask
     from tpu_mednet.train import create_train_state, make_train_step
 
@@ -128,9 +129,11 @@ def main():
                            remat=1, packed=True)
     task = SegmentationTask(model=model, loss="DICE")
     step = make_train_step(task, augment=AugmentConfig(mirror_axes=(1, 2, 3)))
-    state0 = create_train_state(
+    mesh = make_mesh(n_data=1)  # sharded puts = the Trainer/bench path
+    state0 = jax.device_put(create_train_state(
         model, (args.batch, args.patch, args.patch, args.patch, 1),
-        learning_rate=1e-3, seed=0)
+        learning_rate=1e-3, seed=0), replicated(mesh))
+    b_shard = batch_sharding(mesh)
 
     def run(preload: bool):
         sampler = PatchSampler(
@@ -146,7 +149,8 @@ def main():
         # overlap is immaterial to the lazy-vs-preload RATIO anyway
         def batches():
             for b in source.batches(args.batch):
-                yield {"data": b["data"], "label": b["label"]}
+                yield {"data": jax.device_put(b["data"], b_shard),
+                       "label": jax.device_put(b["label"], b_shard)}
 
         it = batches()
         # warmup: compile + first batches
