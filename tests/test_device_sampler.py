@@ -80,6 +80,7 @@ def test_device_sampler_corners_respect_true_shape():
         assert np.all(c + 16 <= ds.shapes[s]), (s, c, ds.shapes[s])
 
 
+@pytest.mark.slow  # heavy jit/fit (measured r5)
 def test_trainer_with_device_sampler():
     ds = DevicePatchSampler(
         None, ["s0", "s1"], samples_per_subject=4, patch_size=[8, 8, 8],
@@ -156,6 +157,7 @@ def test_device_sampler_rejects_both_heatmap_sources():
         )
 
 
+@pytest.mark.slow  # heavy jit/fit (measured r5)
 def test_on_device_inference_matches_host_stitched():
     from tpu_mednet.inference.device_sliding import predict_volumes_on_device
     from tpu_mednet.inference.sliding_window import predict_volumes

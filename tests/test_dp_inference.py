@@ -10,6 +10,7 @@ single-device path.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_mednet.data import MemoryReader
 from tpu_mednet.inference.common import round_robin_placement, run_pipelined
@@ -18,6 +19,11 @@ from tpu_mednet.inference.weighted import predict_volumes_weighted_on_device
 from tpu_mednet.models import UNet3DBase, UNetConfig
 from tpu_mednet.tasks import SegmentationTask
 from tpu_mednet.train import create_train_state
+
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
 
 SHAPES = ((24, 24, 24), (17, 19, 23), (20, 24, 20), (24, 20, 17))
 

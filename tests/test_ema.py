@@ -27,6 +27,11 @@ from tpu_mednet.train import (
 )
 from tpu_mednet.train.optim import check_resume_optimizer
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 def tiny_model(out=2):
     return UNet3DBase(config=UNetConfig(

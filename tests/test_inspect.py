@@ -5,6 +5,11 @@ import json
 import numpy as np
 import pytest
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 h5py = pytest.importorskip("h5py")
 
 

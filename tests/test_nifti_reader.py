@@ -204,6 +204,7 @@ def test_volume_group_nifti_save_roundtrips(tmp_path):
     assert shape == (6, 6, 6)
 
 
+@pytest.mark.slow  # heavy jit/fit (measured r5)
 def test_train_cli_end_to_end_on_nifti_dataset(tmp_path):
     # the routing makes --data_path <dir-of-nii> work through the whole
     # training stack with no other change

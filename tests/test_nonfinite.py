@@ -17,6 +17,7 @@ from tpu_mednet.data import MemoryReader, PatchSampler
 from tpu_mednet.models import UNet3DBase, UNetConfig
 from tpu_mednet.tasks import SegmentationTask
 from tpu_mednet.train import (
+
     CheckpointManager,
     NonFiniteError,
     Trainer,
@@ -24,6 +25,11 @@ from tpu_mednet.train import (
     make_train_step,
 )
 
+
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
 
 def tiny_task():
     model = UNet3DBase(config=UNetConfig(

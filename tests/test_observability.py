@@ -173,6 +173,7 @@ def test_sink_scalars_and_figures_and_close(fake_neptune, tmp_path):
 # -- the real thing: a 1-epoch Trainer fit ---------------------------------
 
 
+@pytest.mark.slow  # heavy jit/fit (measured r5)
 def test_neptune_and_png_fallback_during_fit(fake_neptune, tmp_path,
                                              monkeypatch):
     """1-epoch fit with the MIP sample visualizer: the Neptune sink receives

@@ -16,6 +16,11 @@ import pytest
 
 from tpu_mednet.train.optim import OptimizerConfig, check_resume_optimizer
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 # -- schedules ---------------------------------------------------------------
 

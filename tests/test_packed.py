@@ -160,6 +160,7 @@ def test_packed_unet_forward_matches_unpacked(block, order):
     np.testing.assert_allclose(y, yp, atol=1e-4)
 
 
+@pytest.mark.slow  # heavy jit/fit (measured r5)
 def test_packed_unet_gradients_match():
     cfg, cfg_p = make_cfgs()
     x = jnp.asarray(

@@ -18,11 +18,17 @@ from tpu_mednet.models import UNet3DBase, UNetConfig
 from tpu_mednet.tasks import SegmentationTask
 from tpu_mednet.train import OptimizerConfig, Trainer, create_train_state
 from tpu_mednet.train.optim import (
+
     PlateauController,
     check_resume_optimizer,
     read_current_lr,
 )
 
+
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
 
 def _params():
     return {"w": jnp.ones((4,), jnp.float32)}

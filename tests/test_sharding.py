@@ -17,6 +17,11 @@ from tpu_mednet.parallel import (
 from tpu_mednet.tasks import SegmentationTask
 from tpu_mednet.train import Trainer, create_train_state, make_train_step
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 def tiny_task():
     model = UNet3DBase(config=UNetConfig(

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from tpu_mednet.ops.augment import (
+
     AugmentConfig,
     apply_augmentations,
     nearest_sample,
@@ -19,6 +20,11 @@ from tpu_mednet.ops.augment import (
     trilinear_sample,
 )
 
+
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
 
 def vol(shape=(12, 12, 12), c=2, seed=0):
     rng = np.random.default_rng(seed)

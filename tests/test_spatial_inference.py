@@ -10,6 +10,11 @@ from tpu_mednet.parallel.mesh import make_mesh, shard_subject_keys
 from tpu_mednet.tasks import SegmentationTask
 from tpu_mednet.train import create_train_state
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 def make_task():
     model = UNet3DBase(config=UNetConfig(

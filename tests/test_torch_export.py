@@ -29,6 +29,11 @@ from tpu_mednet.models.unet import ResidualUNet3D, UNet3D  # noqa: E402
 from tpu_mednet.utils.torch_export import flax_to_state_dict  # noqa: E402
 from tpu_mednet.utils.torch_import import convert_state_dict  # noqa: E402
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 def test_round_trip_is_bit_exact_residual():
     tmodel = RefUNet(2, 3, [8, 16, 32], residual=True, order="cge")

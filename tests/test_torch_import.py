@@ -32,11 +32,17 @@ import jax.numpy as jnp  # noqa: E402
 
 from tpu_mednet.models.unet import ResidualUNet3D, UNet3D  # noqa: E402
 from tpu_mednet.utils.torch_import import (  # noqa: E402
+
     check_against_template,
     convert_state_dict,
     infer_architecture,
 )
 
+
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
 
 class RefUNet(torch.nn.Module):
     """The reference model tree (model.py:44-76 vanilla / 152-179 residual),

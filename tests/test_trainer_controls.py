@@ -16,6 +16,11 @@ from tpu_mednet.models import UNet3DBase, UNetConfig
 from tpu_mednet.tasks import SegmentationTask
 from tpu_mednet.train import CheckpointManager, Trainer
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 def make_reader(shape=(32, 32, 32), seed=0):
     rng = np.random.default_rng(seed)

@@ -21,6 +21,11 @@ from tpu_mednet.models import UNet3DBase, UNetConfig
 from tpu_mednet.tasks import LandmarkTask, SegmentationTask
 from tpu_mednet.train import create_train_state
 
+# Trainer-fit / CLI-e2e / sharding-equivalence integration tier: dozens of
+# seconds of jit compiles per test (measured round 5) — the quick loop
+# (-m 'not slow') keeps the unit surface only.
+pytestmark = pytest.mark.slow
+
 
 def tiny_model(out_channels, in_channels=1):
     return UNet3DBase(config=UNetConfig(
