@@ -127,10 +127,20 @@ def test_ldmk_class_weight_length_vs_class_head():
     validate_task_config(hp, "ldmk")
 
 
-def test_class_probabilities_length_vs_classes():
-    with pytest.raises(SystemExit, match="--class_probabilities has 2 entries"):
-        validate_task_config(_hp(class_probabilities=[0.5, 0.5]), "seg")
+def test_class_probabilities_length_vs_classes(caplog):
+    import logging
+
+    # MORE entries than classes: probabilities for classes the model
+    # cannot output — refused
+    with pytest.raises(SystemExit, match="--class_probabilities has 4 entries"):
+        validate_task_config(
+            _hp(class_probabilities=[0.25, 0.25, 0.25, 0.25]), "seg")
     validate_task_config(_hp(class_probabilities=[0.2, 0.4, 0.4]), "seg")
+    # FEWER is a meaningful center-sampling choice (seg_brats_bf16.yaml
+    # ships 3 entries for 4 classes) — warned, not refused
+    with caplog.at_level(logging.WARNING):
+        validate_task_config(_hp(class_probabilities=[0.5, 0.5]), "seg")
+    assert "never be drawn as patch centers" in caplog.text
     # ldmk: classes = out_channels - heatmaps
     hp = _hp(out_channels=8, loss_regression_weight=[0.1] * 6,
              loss_class_weight=None, class_probabilities=[0.5, 0.5])

@@ -395,12 +395,24 @@ def validate_task_config(hparams, task: str, n_data: int = 1) -> None:
                 f"head has {n_classes} channels (--out_channels {oc} minus "
                 f"{len(reg)} heatmap channels)")
     cp = getattr(hparams, "class_probabilities", None)
-    if cp is not None and len(cp) != n_classes:
+    if cp is not None and len(cp) > n_classes:
+        # probabilities for classes the model cannot output — an error
         raise SystemExit(
             f"--class_probabilities has {len(cp)} entries but the task has "
-            f"{n_classes} classes ({'--out_channels' if task == 'seg' else '--out_channels minus the heatmap channels'})"
+            f"only {n_classes} classes ({'--out_channels' if task == 'seg' else '--out_channels minus the heatmap channels'})"
             f" — the sampler draws the patch-center class from this "
             f"distribution (index 0 = background)")
+    if cp is not None and len(cp) < n_classes:
+        # FEWER entries is a meaningful choice (the reference never ties
+        # the two: classes beyond the list are simply never used as patch
+        # centers, e.g. configs/seg_brats_bf16.yaml) — surface it, don't
+        # refuse it
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "--class_probabilities has %d entries for %d classes: classes "
+            ">= %d will never be drawn as patch centers (they still appear "
+            "inside patches)", len(cp), n_classes, len(cp))
     if n_data > 1 and int(hparams.batch_size) % n_data:
         raise SystemExit(
             f"--batch_size {hparams.batch_size} is not divisible by the "
